@@ -1,0 +1,102 @@
+"""Program options for the TPU bisulfite read mapper.
+
+Mirrors the reference CLI surface (reference: include/options.hpp:25-66,
+src/options.cpp:263-334) while adding TPU-specific capacity knobs that replace
+the reference's dynamic-shape flows (reference: src/gpu/main_gpu.cu:198-277)
+with fixed-capacity padded tensors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional
+
+
+class SequencePairType(enum.Enum):
+    SINGLE_END = "SingleEnd"
+    PAIRED_END = "PairedEnd"
+
+
+class MapperType(enum.Enum):
+    EDLIB = "edlib"
+    SW = "SW"
+    STHELSE = "sthelse"
+
+
+def parse_memory_string(s: str) -> int:
+    """Parse '1024', '512M', '4G', '100K' into bytes.
+
+    Reference: src/options.cpp:113-140 (K/M/G suffix each multiply by 1024).
+    """
+    s = s.strip()
+    if not s:
+        return 0
+    suffix = s[-1].upper()
+    multipliers = {"K": 1024, "M": 1024**2, "G": 1024**3}
+    if suffix in multipliers:
+        return int(s[:-1]) * multipliers[suffix]
+    return int(s)
+
+
+@dataclasses.dataclass
+class ProgramOptions:
+    """Flat options struct passed by reference everywhere.
+
+    Defaults mirror reference include/options.hpp:30-42.
+    """
+
+    # --- reference-equivalent options ---
+    replicate_index: bool = False          # replicateGpuData
+    use_quality_scores: bool = False
+    show_progress: bool = False
+    must_use_all_hash_functions: bool = False
+    batchsize: int = 2048                  # window/read batch size
+    kmer_length: int = 16
+    num_hash_functions: int = 16
+    max_results_per_map: int = 65535       # keys with more values are dropped
+    window_size: int = 128
+    min_table_hits: int = 4
+    threads: int = 1
+    quality_score_bits: int = 8
+    min_insert_size: int = -1
+    max_insert_size: int = -1
+    hashtable_load_factor: float = 0.8
+    max_hamming_percent: float = 0.05
+    pair_type: SequencePairType = SequencePairType.SINGLE_END
+    mapper_type: MapperType = MapperType.SW
+    memory_for_hashtables: int = 0
+    memory_total_limit: int = 0
+    save_binary_reads_to: str = ""
+    load_binary_reads_from: str = ""
+    save_hashtables_to: str = ""
+    load_hashtables_from: str = ""
+    tempdirectory: str = "."
+    genomefile: str = "genome.fasta"
+    outputfile: str = "output.txt"
+    outputdirectory: str = "."
+    device_ids: List[int] = dataclasses.field(default_factory=list)
+    inputfiles: List[str] = dataclasses.field(default_factory=list)
+
+    # --- TPU-specific fixed-capacity knobs (replace dynamic shapes) ---
+    # Max candidate window ids returned per (read, table) probe.
+    probe_cap: int = 64
+    # Max candidate windows kept per read after the min-table-hits vote.
+    candidates_per_read_cap: int = 32
+    # Upper bound on read length (reference: getSequenceLengthUpperBound()).
+    max_read_length: int = 160
+    # Mesh axis sizes; None => single device.
+    mesh_data: Optional[int] = None
+    mesh_table: Optional[int] = None
+
+    @property
+    def window_stride(self) -> int:
+        """Windows overlap by k-1 bases (reference: include/genome.hpp:177)."""
+        return self.window_size - self.kmer_length + 1
+
+    def validate(self) -> None:
+        assert 1 <= self.kmer_length <= 32, "k must be in [1, 32]"
+        assert self.num_hash_functions <= 64, (
+            "reference asserts hashFuncId < 64 (gpusequencehasher.cuh:138)")
+        assert self.window_size > self.kmer_length
+        assert self.batchsize > 0

@@ -1,0 +1,132 @@
+"""Canonical k-mer extraction and minhash signatures (device / JAX).
+
+Bit-exact re-derivation of the reference's GPU hashing pipeline
+(reference: include/gpu/gpusequencehasher.cuh:114-169 minhashSignatures3264Kernel,
+include/sequencehelpers.hpp:847-935 forEachEncodedCanonicalKmerFromEncodedSequence):
+
+  for each sequence s and hash-function id f:
+      sig[s, f] = ( min over all k-mer positions p of
+                    murmur64(canonical_kmer(s, p) + f) ) & kmer_mask
+  canonical_kmer = min(kmer, revcomp_kmer) over the 2k-bit encodings,
+  kmer_mask = 2**(2k) - 1.
+
+Instead of a rolling per-thread scan, all k-mers of a padded batch are
+materialized vectorized over (sequence, position) — k static shifted adds on
+the VPU — and the 64-bit min is taken as two 32-bit lexicographic reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import u64
+
+# Signatures of sequences shorter than k are invalid; the reference writes
+# numeric_limits<HashValueType>::max() and valid=false
+# (gpusequencehasher.cuh:162-166). We use the same sentinel.
+SIG_SENTINEL = 0xFFFFFFFF
+
+
+def kmer_mask_py(k: int) -> int:
+    return (1 << (2 * k)) - 1
+
+
+def canonical_kmers(bases: jnp.ndarray, lengths: jnp.ndarray, k: int
+                    ) -> Tuple[u64.U64, jnp.ndarray]:
+    """All canonical k-mers of padded base rows.
+
+    Args:
+      bases: [N, L] int8 in 0..3 (padding values are ignored via the mask).
+      lengths: [N] int32.
+      k: static k-mer length, 1..32.
+
+    Returns:
+      ((hi, lo) uint32 [N, P], valid bool [N, P]) with P = L - k + 1.
+    """
+    n, maxlen = bases.shape
+    assert 1 <= k <= 32
+    npos = maxlen - k + 1
+    assert npos >= 1, "padded length shorter than k"
+    b = bases.astype(jnp.uint32)
+
+    fwd_hi = jnp.zeros((n, npos), dtype=jnp.uint32)
+    fwd_lo = jnp.zeros((n, npos), dtype=jnp.uint32)
+    rc_hi = jnp.zeros((n, npos), dtype=jnp.uint32)
+    rc_lo = jnp.zeros((n, npos), dtype=jnp.uint32)
+
+    for i in range(k):
+        col = b[:, i:i + npos]
+        # forward: base i of the k-mer sits at bit offset 2*(k-1-i)
+        fshift = 2 * (k - 1 - i)
+        if fshift >= 32:
+            fwd_hi = fwd_hi | (col << (fshift - 32))
+        else:
+            fwd_lo = fwd_lo | (col << fshift)
+            if fshift > 0:
+                # a 2-bit base never straddles the 32-bit boundary since
+                # fshift is even and < 32 here => col << fshift fits in lo
+                pass
+        # reverse complement: complement base at bit offset 2*i
+        rcol = jnp.uint32(3) - col
+        rshift = 2 * i
+        if rshift >= 32:
+            rc_hi = rc_hi | (rcol << (rshift - 32))
+        else:
+            rc_lo = rc_lo | (rcol << rshift)
+
+    canon = u64.minimum((fwd_hi, fwd_lo), (rc_hi, rc_lo))
+    pos = jnp.arange(npos, dtype=jnp.int32)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    return canon, valid
+
+
+def _min_u64_masked(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray,
+                    axis: int) -> u64.U64:
+    """Lexicographic (hi, lo) min over `axis`, ignoring invalid lanes."""
+    big = jnp.uint32(0xFFFFFFFF)
+    hi_m = jnp.where(valid, hi, big)
+    min_hi = jnp.min(hi_m, axis=axis, keepdims=True)
+    lo_m = jnp.where(valid & (hi_m == min_hi), lo, big)
+    min_lo = jnp.min(lo_m, axis=axis)
+    return jnp.squeeze(min_hi, axis=axis), min_lo
+
+
+@partial(jax.jit, static_argnames=("k",))
+def minhash_signatures(bases: jnp.ndarray, lengths: jnp.ndarray, k: int,
+                       hash_ids: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Minhash signatures, bit-exact with minhashSignatures3264Kernel.
+
+    Args:
+      bases: [N, L] int8 bases.
+      lengths: [N] int32 sequence lengths.
+      k: static k, 1..16 (signature then fits in uint32 after masking).
+      hash_ids: [F] uint32 hash-function ids (< 64).
+
+    Returns:
+      (sig [N, F] uint32, valid [N] bool).  Invalid rows carry SIG_SENTINEL.
+    """
+    assert 1 <= k <= 16, "device signatures restricted to k<=16 (uint32)"
+    (chi, clo), kvalid = canonical_kmers(bases, lengths, k)
+
+    # hash input = canonical kmer + hash id (u64 add with carry)
+    f = hash_ids.astype(jnp.uint32)[None, :, None]          # [1, F, 1]
+    lo_f = clo[:, None, :] + f                              # [N, F, P]
+    carry = (lo_f < clo[:, None, :]).astype(jnp.uint32)
+    hi_f = chi[:, None, :] + carry
+
+    hhi, hlo = u64.murmur64((hi_f, lo_f))
+    min_hi, min_lo = _min_u64_masked(hhi, hlo, kvalid[:, None, :], axis=2)
+
+    mask = kmer_mask_py(k)
+    if k == 16:
+        sig = min_lo
+    else:
+        sig = min_lo & jnp.uint32(mask)
+    seq_valid = lengths >= k
+    sig = jnp.where(seq_valid[:, None], sig, jnp.uint32(SIG_SENTINEL))
+    return sig, seq_valid

@@ -1,0 +1,12 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must run before jax is imported anywhere; pytest imports conftest first.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
