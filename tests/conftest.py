@@ -1,12 +1,20 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Must run before jax is imported anywhere; pytest imports conftest first.
+The environment's sitecustomize registers the axon TPU backend and calls
+jax.config.update("jax_platforms", "axon,cpu") at interpreter start, which
+overrides the JAX_PLATFORMS env var — so we must override the config again
+here (conftest runs before any test touches a device) and set
+xla_force_host_platform_device_count before the CPU client initializes.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
