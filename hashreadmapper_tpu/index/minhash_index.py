@@ -1,0 +1,259 @@
+"""Static CSR minhash index in device memory + fixed-shape probe/vote kernels.
+
+Design (SURVEY.md §7.1): the reference's warpcore open-addressing tables
+converge to a compacted CSR after build anyway (reference:
+include/gpu/gpuhashtable.cuh:726-833 — key->slot table + offsets[] + values[]);
+the CPU path is CSR from the start (include/cpuhashtable.hpp:465-679).  We
+build that CSR directly with sort/group-by (the GroupByKey design,
+include/groupbykey.hpp:68-158) and probe it on device with a vectorized
+binary search + capped gather — no probing loops, fully static shapes.
+
+The TPU engine runs in the *genome-index* orientation (BASELINE.json north
+star): the index maps signature -> window ids and reads stream through as
+queries.  Candidate sets are identical to the reference's inverted
+orientation because signature equality is symmetric; the reference's
+max-results-per-map key dropping (which happens on the READ side there,
+groupbykey.hpp:60-67) is reproduced exactly via `dropped_keys` masks computed
+from the read-signature histogram (see build_dropped_keys).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+@dataclasses.dataclass
+class CsrIndex:
+    """One CSR hash table per hash function, padded to uniform widths.
+
+    keys:     [F, U] uint32, ascending per row, padded with SENTINEL
+    offsets:  [F, U+1] int32 value offsets per key (CSR)
+    values:   [F, V] uint32 item ids, grouped by key, ascending within key
+    num_keys: [F] int32
+    """
+    keys: jnp.ndarray
+    offsets: jnp.ndarray
+    values: jnp.ndarray
+    num_keys: jnp.ndarray
+    kmer_length: int
+    hash_ids: np.ndarray
+
+    @property
+    def num_tables(self) -> int:
+        return int(self.keys.shape[0])
+
+    def memory_bytes(self) -> int:
+        return (self.keys.nbytes + self.offsets.nbytes + self.values.nbytes
+                + self.num_keys.nbytes)
+
+    def save(self, path: str) -> None:
+        """Index artifact (replaces --save-hashtables-to,
+        reference: gpuminhasherconstruction.cu:311-319)."""
+        np.savez_compressed(
+            path,
+            keys=np.asarray(self.keys), offsets=np.asarray(self.offsets),
+            values=np.asarray(self.values), num_keys=np.asarray(self.num_keys),
+            kmer_length=self.kmer_length, hash_ids=self.hash_ids)
+
+    @classmethod
+    def load(cls, path: str) -> "CsrIndex":
+        d = np.load(path)
+        return cls(jnp.asarray(d["keys"]), jnp.asarray(d["offsets"]),
+                   jnp.asarray(d["values"]), jnp.asarray(d["num_keys"]),
+                   int(d["kmer_length"]), d["hash_ids"])
+
+
+def build_csr_index(signatures: np.ndarray, valid: np.ndarray,
+                    kmer_length: int, hash_ids: Sequence[int],
+                    max_values_per_key: Optional[int] = None) -> CsrIndex:
+    """Host (numpy) CSR build: sort by key, group, optionally drop full keys.
+
+    Args:
+      signatures: [N, F] uint32 signatures of the indexed items.
+      valid: [N] bool; invalid items are not inserted (reference inserts only
+        valid signatures, fakegpuminhasher.cuh:639-668).
+      max_values_per_key: keys with MORE values than this lose all values
+        (reference: groupbykey.hpp:60-67).  None = keep everything.
+    """
+    n, f = signatures.shape
+    keys_l, offs_l, vals_l, nkeys = [], [], [], []
+    ids = np.arange(n, dtype=np.uint32)
+    for t in range(f):
+        sig_t = signatures[valid, t]
+        val_t = ids[valid]
+        order = np.lexsort((val_t, sig_t))
+        sig_s, val_s = sig_t[order], val_t[order]
+        ukeys, starts, counts = np.unique(
+            sig_s, return_index=True, return_counts=True)
+        if max_values_per_key is not None:
+            keep = counts <= max_values_per_key
+            ukeys, starts, counts = ukeys[keep], starts[keep], counts[keep]
+        # re-pack values contiguously for kept keys
+        idx = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(starts, counts)]
+        ) if len(ukeys) else np.empty(0, dtype=np.int64)
+        vals_packed = val_s[idx]
+        offsets = np.zeros(len(ukeys) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        keys_l.append(ukeys.astype(np.uint32))
+        offs_l.append(offsets)
+        vals_l.append(vals_packed.astype(np.uint32))
+        nkeys.append(len(ukeys))
+
+    u_max = max(1, max(len(kk) for kk in keys_l))
+    v_max = max(1, max(len(vv) for vv in vals_l))
+    keys = np.full((f, u_max), SENTINEL, dtype=np.uint32)
+    offsets = np.zeros((f, u_max + 1), dtype=np.int32)
+    values = np.full((f, v_max), SENTINEL, dtype=np.uint32)
+    for t in range(f):
+        u = len(keys_l[t])
+        keys[t, :u] = keys_l[t]
+        offsets[t, :u + 1] = offs_l[t]
+        offsets[t, u + 1:] = offs_l[t][-1]
+        values[t, :len(vals_l[t])] = vals_l[t]
+    return CsrIndex(
+        keys=jnp.asarray(keys), offsets=jnp.asarray(offsets),
+        values=jnp.asarray(values),
+        num_keys=jnp.asarray(np.array(nkeys, dtype=np.int32)),
+        kmer_length=kmer_length,
+        hash_ids=np.asarray(hash_ids, dtype=np.uint32))
+
+
+def build_dropped_keys(signatures: np.ndarray, valid: np.ndarray,
+                       max_values_per_key: int) -> np.ndarray:
+    """Per-table sorted arrays of signature keys exceeding the value cap.
+
+    Emulates the reference's read-index key dropping in the inverted
+    orientation: a (query, table) probe whose own signature is a dropped key
+    must be skipped, because in the reference that table never stored any of
+    those reads (groupbykey.hpp:60-67).
+
+    Returns ([F, D] uint32 padded with SENTINEL, [F] int32 counts).
+    """
+    n, f = signatures.shape
+    dropped = []
+    for t in range(f):
+        sig_t = signatures[valid, t]
+        ukeys, counts = np.unique(sig_t, return_counts=True)
+        dropped.append(ukeys[counts > max_values_per_key].astype(np.uint32))
+    d_max = max(1, max(len(d) for d in dropped))
+    out = np.full((f, d_max), SENTINEL, dtype=np.uint32)
+    for t in range(f):
+        out[t, :len(dropped[t])] = dropped[t]
+    return out, np.array([len(d) for d in dropped], dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# device probe
+# ---------------------------------------------------------------------------
+
+def _row_searchsorted(keys_row: jnp.ndarray, queries: jnp.ndarray
+                      ) -> jnp.ndarray:
+    return jnp.searchsorted(keys_row, queries, side="left")
+
+
+@partial(jax.jit, static_argnames=("probe_cap",))
+def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
+                 index_values: jnp.ndarray, index_num_keys: jnp.ndarray,
+                 sigs: jnp.ndarray, sig_valid: jnp.ndarray,
+                 probe_cap: int,
+                 dropped_keys: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Capped CSR lookup of [N, F] query signatures.
+
+    Returns:
+      cand: [N, F, probe_cap] uint32 item ids (SENTINEL where empty),
+            ascending within each (n, f) as in the CSR rows.
+      counts: [N, F] int32 true match counts (before capping) for overflow
+            accounting (reference semantics have no cap here; parity tests
+            must choose probe_cap >= max count).
+    """
+    n, f = sigs.shape
+    sigs_t = sigs.T  # [F, N]
+    idx = jax.vmap(_row_searchsorted)(index_keys, sigs_t)        # [F, N]
+    idx_c = jnp.minimum(idx, index_keys.shape[1] - 1)
+    found_key = jnp.take_along_axis(index_keys, idx_c, axis=1)   # [F, N]
+    found = (found_key == sigs_t) & (idx < index_num_keys[:, None])
+    found = found & sig_valid[None, :]
+    if dropped_keys is not None:
+        dkeys, dnum = dropped_keys
+        didx = jax.vmap(_row_searchsorted)(dkeys, sigs_t)
+        didx_c = jnp.minimum(didx, dkeys.shape[1] - 1)
+        dhit = (jnp.take_along_axis(dkeys, didx_c, axis=1) == sigs_t) & (
+            didx < dnum[:, None])
+        found = found & ~dhit
+
+    off0 = jnp.take_along_axis(index_offsets, idx_c, axis=1)
+    off1 = jnp.take_along_axis(index_offsets, idx_c + 1, axis=1)
+    counts = jnp.where(found, off1 - off0, 0)                    # [F, N]
+
+    # gather up to probe_cap values per (f, n)
+    slot = jnp.arange(probe_cap, dtype=jnp.int32)                # [C]
+    gidx = off0[:, :, None] + slot[None, None, :]                # [F, N, C]
+    in_range = slot[None, None, :] < jnp.minimum(counts, probe_cap)[:, :, None]
+    gidx = jnp.clip(gidx, 0, index_values.shape[1] - 1)
+    vals = jax.vmap(jnp.take)(index_values, gidx.reshape(f, -1))
+    vals = vals.reshape(f, n, probe_cap)
+    cand = jnp.where(in_range, vals, jnp.uint32(SENTINEL))
+    return cand.transpose(1, 0, 2), counts.T
+
+
+# ---------------------------------------------------------------------------
+# device vote (min-table-hits frequency filter)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("min_table_hits", "out_cap"))
+def vote_candidates(cand: jnp.ndarray, min_table_hits: int, out_cap: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frequency-filtered distinct candidates per query row.
+
+    Equivalent to keepDistinctByFrequency / keepDistinct (reference:
+    include/gpu/minhashqueryfilter.cuh:123-279): sort the concatenated
+    per-table matches, keep distinct ids occurring in >= min_table_hits
+    tables, ascending id order.
+
+    Args:
+      cand: [N, F, C] uint32 with SENTINEL padding.
+    Returns:
+      (ids [N, out_cap] uint32 SENTINEL-padded, hit_counts [N, out_cap] int32,
+       num_kept [N] int32 — may exceed out_cap; overflow = num_kept > out_cap).
+    """
+    n, f, c = cand.shape
+    m = f * c
+    flat = jnp.sort(cand.reshape(n, m), axis=1)                  # SENTINEL last
+    prev = jnp.concatenate(
+        [jnp.full((n, 1), SENTINEL, dtype=flat.dtype), flat[:, :-1]], axis=1)
+    is_start = (flat != prev) | (jnp.arange(m)[None, :] == 0)
+    is_start = is_start & (flat != SENTINEL)
+
+    # run length of each start = next start position - own position
+    iota = jnp.arange(m, dtype=jnp.int32)[None, :]
+    start_pos = jnp.where(is_start | (flat == SENTINEL), iota, jnp.int32(m))
+    # next boundary at-or-after i+1:
+    suffix_min = jax.lax.cummin(start_pos[:, ::-1], axis=1)[:, ::-1]
+    nxt = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((n, 1), m, dtype=jnp.int32)], axis=1)
+    run_len = nxt - iota
+
+    if min_table_hits > 1:
+        keep = is_start & (run_len >= min_table_hits)
+    else:
+        keep = is_start
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    num_kept = jnp.where(keep, rank + 1, 0).max(axis=1)
+
+    out_ids = jnp.full((n, out_cap), SENTINEL, dtype=jnp.uint32)
+    out_cnt = jnp.zeros((n, out_cap), dtype=jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, m))
+    slot = jnp.where(keep, rank, out_cap)  # out-of-bounds slots get dropped
+    out_ids = out_ids.at[rows, slot].set(flat, mode="drop")
+    out_cnt = out_cnt.at[rows, slot].set(run_len, mode="drop")
+    return out_ids, out_cnt, num_kept
