@@ -1,0 +1,156 @@
+"""Shifted Hamming Distance against extended genome windows (device / JAX).
+
+Re-derivation of the reference's SHD stage (reference:
+src/gpu/hammingdistancekernels.cu:132-263 + window generation
+include/gpu/windowgenerationkernels.cuh:17-48):
+
+  * the anchor is the candidate genome window extended left/right by
+    readLength/2 with the reference's quirk-compatible clamping (left
+    extension is all-or-nothing: zero whenever extension >= window position);
+  * the read is slid across every full-overlap shift in both orientations
+    (forward first, then reverse-complement), hamming distance per shift;
+  * strictly-smaller score wins, ties keep the earlier (orientation, shift);
+  * orientation becomes None when best > trunc(readLen * maxHammingPercent)
+    or when the read is longer than the anchor (score = readLen, shift = 0).
+
+Instead of the reference's per-pair popcount loop with early exit, all shifts
+are evaluated exactly via a scan of masked one-hot correlations on the VPU —
+the result is the exact minimum, so early-exit semantics are preserved by
+construction.  The bit-plane Pallas kernel (planned) is a drop-in for the
+inner correlation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Orientation codes (reference: include/alignmentorientation.hpp:4)
+FORWARD = 1
+REVERSE_COMPLEMENT = 2
+NONE = 3
+
+_BIG = jnp.int32(0x3FFFFFFF)
+
+
+class ExtendedWindows(NamedTuple):
+    start: jnp.ndarray    # [P] int32 chromosome-local start of extended window
+    left: jnp.ndarray     # [P] int32 applied left extension
+    length: jnp.ndarray   # [P] int32 extended-window length
+
+
+def extended_window_location(pos: jnp.ndarray, chrom_len: jnp.ndarray,
+                             read_len: jnp.ndarray, window_size: int
+                             ) -> ExtendedWindows:
+    """Vectorized computeWindowLocation (windowgenerationkernels.cuh:17-48)."""
+    ext = read_len // 2
+    left = jnp.where(ext < pos, ext, 0)
+    end = pos + window_size
+    in_bounds = end <= chrom_len
+    right = jnp.where(
+        in_bounds,
+        jnp.where(end + ext < chrom_len, ext, chrom_len - end),
+        0)
+    length = window_size + left + right - jnp.where(in_bounds, 0, end - chrom_len)
+    return ExtendedWindows(start=pos - left, left=left, length=length)
+
+
+class ShdParams(NamedTuple):
+    window_size: int
+    max_ext_len: int       # static bound: window_size + max_read_len
+    max_read_len: int
+    max_hamming_percent: float
+
+
+class ShdResult(NamedTuple):
+    hamming: jnp.ndarray      # [P] int32 best score
+    shift: jnp.ndarray        # [P] int32 shift in ORIGINAL window coordinates
+    orientation: jnp.ndarray  # [P] int8 FORWARD / REVERSE_COMPLEMENT / NONE
+
+
+def _onehot(bases: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """[..., L] int -> [..., L, 4] bf16 one-hot, zeros where masked out."""
+    oh = jax.nn.one_hot(bases, 4, dtype=jnp.bfloat16)
+    return oh * mask[..., None].astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def shd_pairs(genome_concat: jnp.ndarray,
+              anchor_global_start: jnp.ndarray,
+              anchor_length: jnp.ndarray,
+              anchor_left: jnp.ndarray,
+              read_bases: jnp.ndarray,
+              read_len: jnp.ndarray,
+              pair_valid: jnp.ndarray,
+              params: ShdParams) -> ShdResult:
+    """SHD for P (extended-window, read) pairs.
+
+    Args:
+      genome_concat: [G] int8 whole-genome base codes (chromosomes
+        concatenated; windows never cross chromosome bounds by construction).
+      anchor_global_start: [P] int32 start of each extended window in
+        genome_concat (chromosome offset already applied).
+      anchor_length / anchor_left: from extended_window_location.
+      read_bases: [P, Lr] int8; read_len: [P] int32; pair_valid: [P] bool.
+    """
+    p, lr = read_bases.shape
+    assert lr == params.max_read_len
+    s_max = params.max_ext_len - 1 + 1  # shifts 0 .. max_ext_len-1 (masked)
+    pad_len = params.max_ext_len + lr
+
+    pos_iota = jnp.arange(pad_len, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.clip(
+        anchor_global_start[:, None] + pos_iota, 0, genome_concat.shape[0] - 1)
+    anchor = jnp.take(genome_concat, gather_idx)                  # [P, pad]
+    anchor_mask = pos_iota < anchor_length[:, None]
+    anchor_oh = _onehot(anchor, anchor_mask)                      # [P, pad, 4]
+
+    read_iota = jnp.arange(lr, dtype=jnp.int32)[None, :]
+    read_mask = read_iota < read_len[:, None]
+    read_oh = _onehot(read_bases, read_mask)                      # [P, Lr, 4]
+    # reverse complement: rc[i] = 3 - read[len-1-i]
+    src = jnp.clip(read_len[:, None] - 1 - read_iota, 0, lr - 1)
+    rc_bases = 3 - jnp.take_along_axis(read_bases.astype(jnp.int32), src, axis=1)
+    rc_oh = _onehot(rc_bases, read_mask)
+
+    both_oh = jnp.stack([read_oh, rc_oh], axis=1)                 # [P, 2, Lr, 4]
+
+    def body(_, s):
+        window = jax.lax.dynamic_slice_in_dim(anchor_oh, s, lr, axis=1)
+        m = jnp.einsum("pla,pola->po", window, both_oh,
+                       preferred_element_type=jnp.float32)        # [P, 2]
+        return None, m
+
+    _, matches = jax.lax.scan(body, None,
+                              jnp.arange(s_max, dtype=jnp.int32))  # [S, P, 2]
+    matches = matches.transpose(1, 2, 0)                          # [P, 2, S]
+    hamming = read_len[:, None, None] - matches.astype(jnp.int32)
+
+    shift_iota = jnp.arange(s_max, dtype=jnp.int32)[None, None, :]
+    shift_ok = shift_iota <= (anchor_length - read_len)[:, None, None]
+    hamming = jnp.where(shift_ok, hamming, _BIG)
+
+    flat = hamming.reshape(p, 2 * s_max)
+    best_idx = jnp.argmin(flat, axis=1)          # first occurrence of the min
+    best = jnp.take_along_axis(flat, best_idx[:, None], axis=1)[:, 0]
+    best_orient = (best_idx // s_max).astype(jnp.int32)
+    best_shift = (best_idx % s_max).astype(jnp.int32)
+
+    too_long = read_len > anchor_length
+    threshold = (read_len.astype(jnp.float32)
+                 * jnp.float32(params.max_hamming_percent)).astype(jnp.int32)
+    good = (best <= threshold) & ~too_long & pair_valid
+
+    orientation = jnp.where(
+        good,
+        jnp.where(best_orient == 0, FORWARD, REVERSE_COMPLEMENT),
+        NONE).astype(jnp.int8)
+    score = jnp.where(too_long, read_len, best)
+    shift_out = jnp.where(too_long, 0, best_shift) - jnp.where(
+        too_long, 0, anchor_left)
+    return ShdResult(hamming=score.astype(jnp.int32),
+                     shift=shift_out.astype(jnp.int32),
+                     orientation=orientation)
