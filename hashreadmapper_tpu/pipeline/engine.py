@@ -1,0 +1,300 @@
+"""Coarse-mapping engine: genome window index in HBM, reads stream through.
+
+This is the TPU-native inversion of the reference's STEP 1 (reference:
+src/gpu/main_gpu.cu:431-856 WindowBatchProcessor): instead of indexing the
+reads and streaming genome windows, the minhash index of genome WINDOWS lives
+in device memory and read batches stream through
+
+    signatures -> CSR probe -> min-table-hits vote -> SHD vs extended windows
+    -> per-read best (argmin by (hamming, genome order)).
+
+Candidate (window, read) pair sets are identical to the reference's because
+signature equality is symmetric; the reference's read-side key dropping is
+reproduced via the dropped-keys mask (index/minhash_index.py).  The per-read
+best-hit merge becomes a LOCAL reduction (each read's candidates arrive in one
+batch), eliminating the reference's serial host merge
+(main_gpu.cu:777-821).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ProgramOptions
+from ..index import minhash_index as mi
+from ..io.genome import Genome
+from ..ops import minhash, shd
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+_BIG = jnp.int32(0x3FFFFFFF)
+
+
+@dataclasses.dataclass
+class WindowTable:
+    """Device-resident genome geometry + per-window metadata."""
+    genome_concat: jnp.ndarray   # [G] int8 all chromosomes concatenated
+    win_pos: jnp.ndarray         # [W] int32 window start within chromosome
+    win_chrom: jnp.ndarray       # [W] int32 chromosome id
+    chrom_offset: jnp.ndarray    # [C] int32 chromosome start in genome_concat
+    chrom_len: jnp.ndarray       # [C] int32
+    num_windows: int
+
+
+@dataclasses.dataclass
+class CoarseResults:
+    """Per-read best hits (reference MappedRead arrays, mappedread.cuh:6-12)."""
+    orientation: np.ndarray        # [N] int8 (1=fwd, 2=rc, 3=none)
+    hamming: np.ndarray            # [N] int32
+    shift: np.ndarray              # [N] int32
+    chromosome_id: np.ndarray      # [N] int32
+    position: np.ndarray           # [N] int32
+    global_window_id: np.ndarray   # [N] uint32 (SENTINEL when unmapped)
+    stats: Dict[str, int]
+
+
+def build_window_table(genome: Genome) -> WindowTable:
+    offsets = np.zeros(genome.num_chromosomes, dtype=np.int64)
+    total = 0
+    for c in range(genome.num_chromosomes):
+        offsets[c] = total
+        total += genome.chromosome_length(c)
+    assert total < 2**31, (
+        "genomes >2 Gbp need the chromosome-tiled gather (planned); "
+        "GRCh38-chr1 scale is supported")
+    concat = np.concatenate([genome.bases[c].astype(np.int8)
+                             for c in range(genome.num_chromosomes)])
+    return WindowTable(
+        genome_concat=jnp.asarray(concat),
+        win_pos=None, win_chrom=None,  # filled by build_engine
+        chrom_offset=jnp.asarray(offsets.astype(np.int32)),
+        chrom_len=jnp.asarray(np.array(
+            [genome.chromosome_length(c) for c in range(genome.num_chromosomes)],
+            dtype=np.int32)),
+        num_windows=0)
+
+
+class CoarseMapper:
+    def __init__(self, genome: Genome, opts: ProgramOptions,
+                 sig_batch: int = 4096):
+        opts.validate()
+        self.opts = opts
+        self.genome = genome
+        self.hash_ids = np.arange(opts.num_hash_functions, dtype=np.uint32)
+        self._hash_ids_dev = jnp.asarray(self.hash_ids)
+        self.table = build_window_table(genome)
+        self._build_window_index(sig_batch)
+        self.dropped: Optional[tuple] = None
+
+    # ------------------------------------------------------------------
+    # index construction (device signatures, host CSR build)
+    # ------------------------------------------------------------------
+    def _window_geometry(self):
+        k, ws = self.opts.kmer_length, self.opts.window_size
+        pos_l, chrom_l, len_l = [], [], []
+        for c in range(self.genome.num_chromosomes):
+            clen = self.genome.chromosome_length(c)
+            n = self.genome.num_windows_in_chromosome(c, k, ws)
+            p = np.arange(n, dtype=np.int64) * self.opts.window_stride
+            pos_l.append(p.astype(np.int32))
+            chrom_l.append(np.full(n, c, dtype=np.int32))
+            len_l.append(np.minimum(clen - p, ws).astype(np.int32))
+        return (np.concatenate(pos_l), np.concatenate(chrom_l),
+                np.concatenate(len_l))
+
+    def _build_window_index(self, sig_batch: int) -> None:
+        opts = self.opts
+        win_pos, win_chrom, win_len = self._window_geometry()
+        w = len(win_pos)
+        self.table.win_pos = jnp.asarray(win_pos)
+        self.table.win_chrom = jnp.asarray(win_chrom)
+        self.table.num_windows = w
+
+        chrom_offset = np.asarray(self.table.chrom_offset)
+        concat = np.asarray(self.table.genome_concat)
+        sigs = np.empty((w, opts.num_hash_functions), dtype=np.uint32)
+        valid = np.empty(w, dtype=bool)
+        ws = opts.window_size
+        for start in range(0, w, sig_batch):
+            stop = min(start + sig_batch, w)
+            n = stop - start
+            gstart = chrom_offset[win_chrom[start:stop]] + win_pos[start:stop]
+            idx = gstart[:, None] + np.arange(ws)[None, :]
+            idx = np.minimum(idx, len(concat) - 1)
+            bases = concat[idx]
+            s, v = minhash.minhash_signatures(
+                jnp.asarray(bases), jnp.asarray(win_len[start:stop]),
+                opts.kmer_length, self._hash_ids_dev)
+            sigs[start:stop] = np.asarray(s)
+            valid[start:stop] = np.asarray(v)
+
+        # window keys are never dropped: in the reference the windows are the
+        # queries, and query signatures are never capped
+        self.index = mi.build_csr_index(
+            sigs, valid, opts.kmer_length, self.hash_ids,
+            max_values_per_key=None)
+
+    # ------------------------------------------------------------------
+    # read-side key dropping (parity with reference read-index build)
+    # ------------------------------------------------------------------
+    def prepare_read_drops(self, read_sigs: np.ndarray,
+                           read_valid: np.ndarray) -> None:
+        """Compute the dropped-keys mask from the full read-signature set.
+
+        Mirrors the reference's GroupByKey value-dropping on its read index
+        (groupbykey.hpp:60-67): keys with more than max_results_per_map reads
+        are invisible to every query in that table.
+        """
+        dk, dn = mi.build_dropped_keys(
+            read_sigs, read_valid, self.opts.max_results_per_map)
+        self.dropped = (jnp.asarray(dk), jnp.asarray(dn))
+
+    # ------------------------------------------------------------------
+    # the jitted per-batch mapping step
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",))
+    def _map_batch(self, read_bases: jnp.ndarray, read_len: jnp.ndarray,
+                   read_valid: jnp.ndarray, dropped_keys, dropped_num):
+        opts = self.opts
+        b, lr = read_bases.shape
+        kcap = opts.candidates_per_read_cap
+
+        sigs, sig_valid = minhash.minhash_signatures(
+            read_bases, read_len, opts.kmer_length, self._hash_ids_dev)
+        sig_valid = sig_valid & read_valid
+
+        cand, counts = mi.probe_tables(
+            self.index.keys, self.index.offsets, self.index.values,
+            self.index.num_keys, sigs, sig_valid, opts.probe_cap,
+            dropped_keys=(dropped_keys, dropped_num))
+        ids, hit_cnt, num_kept = mi.vote_candidates(
+            cand, opts.min_table_hits, kcap)
+
+        # expand to pairs [B*K]
+        gwin = ids.reshape(-1)
+        pair_valid = gwin != jnp.uint32(0xFFFFFFFF)
+        gwin_c = jnp.where(pair_valid, gwin, 0).astype(jnp.int32)
+        pos = jnp.take(self.table.win_pos, gwin_c)
+        chrom = jnp.take(self.table.win_chrom, gwin_c)
+        clen = jnp.take(self.table.chrom_len, chrom)
+        coff = jnp.take(self.table.chrom_offset, chrom)
+
+        rl_rep = jnp.repeat(read_len, kcap)
+        loc = shd.extended_window_location(pos, clen, rl_rep, opts.window_size)
+        params = shd.ShdParams(
+            window_size=opts.window_size,
+            max_ext_len=opts.window_size + opts.max_read_length,
+            max_read_len=lr,
+            max_hamming_percent=opts.max_hamming_percent)
+        res = shd.shd_pairs(
+            self.table.genome_concat, coff + loc.start, loc.length, loc.left,
+            jnp.repeat(read_bases, kcap, axis=0), rl_rep, pair_valid, params)
+
+        ham = res.hamming.reshape(b, kcap)
+        shf = res.shift.reshape(b, kcap)
+        ori = res.orientation.reshape(b, kcap)
+        good = ori != shd.NONE
+
+        # best per read: min hamming, then earliest window (ids ascend =>
+        # genome order; reference keeps first strictly-smaller hit,
+        # main_gpu.cu:800-812)
+        ham_m = jnp.where(good, ham, _BIG)
+        min_h = jnp.min(ham_m, axis=1, keepdims=True)
+        slot_key = jnp.where(good & (ham_m == min_h),
+                             gwin_c.reshape(b, kcap), _BIG)
+        best_slot = jnp.argmin(slot_key, axis=1)
+        has = jnp.any(good, axis=1)
+
+        take = lambda m: jnp.take_along_axis(m, best_slot[:, None], axis=1)[:, 0]
+        out_ori = jnp.where(has, take(ori), jnp.int8(shd.NONE))
+        out_ham = jnp.where(has, take(ham), 0)
+        out_shift = jnp.where(has, take(shf), 0)
+        best_gwin_i = take(gwin_c.reshape(b, kcap))
+        out_chrom = jnp.where(has, jnp.take(self.table.win_chrom, best_gwin_i), 0)
+        out_pos = jnp.where(has, jnp.take(self.table.win_pos, best_gwin_i), 0)
+        out_gwin = jnp.where(has, best_gwin_i.astype(jnp.uint32),
+                             jnp.uint32(0xFFFFFFFF))
+        probe_overflow = jnp.sum(counts > opts.probe_cap)
+        vote_overflow = jnp.sum(num_kept > kcap)
+        return (out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin,
+                sigs, sig_valid, probe_overflow, vote_overflow)
+
+    # ------------------------------------------------------------------
+    def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray,
+                  precomputed_sigs: Optional[np.ndarray] = None,
+                  emulate_read_key_drop: bool = True) -> CoarseResults:
+        """Map all reads (host driver: batches the jitted step).
+
+        read_bases: [N, L] int8 padded; read_lengths: [N] int32.
+        """
+        opts = self.opts
+        n, lr = read_bases.shape
+        assert lr <= opts.max_read_length, (
+            f"reads longer than max_read_length ({lr} > {opts.max_read_length})")
+        if lr < opts.max_read_length:
+            read_bases = np.pad(
+                read_bases, ((0, 0), (0, opts.max_read_length - lr)))
+            lr = opts.max_read_length
+
+        if emulate_read_key_drop and self.dropped is None:
+            if precomputed_sigs is None:
+                sig_list = []
+                val_list = []
+                for start in range(0, n, opts.batchsize):
+                    stop = min(start + opts.batchsize, n)
+                    chunk = read_bases[start:stop]
+                    s, v = minhash.minhash_signatures(
+                        jnp.asarray(chunk), jnp.asarray(read_lengths[start:stop]),
+                        opts.kmer_length, self._hash_ids_dev)
+                    sig_list.append(np.asarray(s))
+                    val_list.append(np.asarray(v))
+                precomputed_sigs = np.concatenate(sig_list)
+                pre_valid = np.concatenate(val_list)
+            else:
+                pre_valid = read_lengths >= opts.kmer_length
+            self.prepare_read_drops(precomputed_sigs, pre_valid)
+
+        out = CoarseResults(
+            orientation=np.full(n, shd.NONE, dtype=np.int8),
+            hamming=np.zeros(n, dtype=np.int32),
+            shift=np.zeros(n, dtype=np.int32),
+            chromosome_id=np.zeros(n, dtype=np.int32),
+            position=np.zeros(n, dtype=np.int32),
+            global_window_id=np.full(n, SENTINEL, dtype=np.uint32),
+            stats={"probe_overflow": 0, "vote_overflow": 0})
+
+        bsz = opts.batchsize
+        for start in range(0, n, bsz):
+            stop = min(start + bsz, n)
+            nb = stop - start
+            chunk = read_bases[start:stop]
+            lens = read_lengths[start:stop]
+            valid = np.ones(nb, dtype=bool)
+            if nb < bsz:  # pad the tail batch to keep one compiled shape
+                chunk = np.pad(chunk, ((0, bsz - nb), (0, 0)))
+                lens = np.pad(lens, (0, bsz - nb))
+                valid = np.pad(valid, (0, bsz - nb))
+            if self.dropped is None:
+                # no read-key dropping: empty mask
+                f = opts.num_hash_functions
+                self.dropped = (
+                    jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
+                    jnp.zeros((f,), dtype=jnp.int32))
+            (ori, ham, shf, chrom, pos, gwin, _sigs, _sv, p_ovf, v_ovf
+             ) = self._map_batch(
+                jnp.asarray(chunk), jnp.asarray(lens), jnp.asarray(valid),
+                self.dropped[0], self.dropped[1])
+            out.orientation[start:stop] = np.asarray(ori)[:nb]
+            out.hamming[start:stop] = np.asarray(ham)[:nb]
+            out.shift[start:stop] = np.asarray(shf)[:nb]
+            out.chromosome_id[start:stop] = np.asarray(chrom)[:nb]
+            out.position[start:stop] = np.asarray(pos)[:nb]
+            out.global_window_id[start:stop] = np.asarray(gwin)[:nb]
+            out.stats["probe_overflow"] += int(p_ovf)
+            out.stats["vote_overflow"] += int(v_ovf)
+        return out
