@@ -58,11 +58,11 @@ class Alignment:
     """Mirrors StripedSmithWaterman::Alignment after CalculateNumberMismatch."""
     sw_score: int = 0
     sw_score_next_best: int = 0
-    ref_begin: int = -1
-    ref_end: int = -1
-    query_begin: int = -1
-    query_end: int = -1
-    ref_end_next_best: int = -1
+    ref_begin: int = 0
+    ref_end: int = 0
+    query_begin: int = 0
+    query_end: int = 0
+    ref_end_next_best: int = 0
     mismatches: int = 0
     cigar_string: str = ""
     flag: int = 0  # s_align flag: 0 ok, 1 banded failed, 2 begin missing
@@ -372,7 +372,7 @@ def ssw_align(query: str, ref: str, mask_len: int,
     read = translate(query)
     ref_t = translate(ref)
     read_len, ref_len = len(read), len(ref_t)
-    al = Alignment()
+    al = Alignment(ref_begin=-1, query_begin=-1)  # s_align init (ssw.c:834-835)
     if read_len == 0 or ref_len == 0:
         return al
 

@@ -1,0 +1,100 @@
+"""Command-line interface mirroring the reference's cxxopts flags.
+
+Reference: src/options.cpp:263-334 (addOptions).  Flag names are kept
+compatible where sensible; TPU-specific capacity knobs are added under their
+own names.  Entry point: `python -m hashreadmapper_tpu ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+from .config import MapperType, ProgramOptions, SequencePairType, \
+    parse_memory_string
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hashreadmapper-tpu",
+        description="TPU-native bisulfite (3N) hash read mapper")
+    p.add_argument("-i", "--inputfiles", nargs="+", default=[],
+                   help="read files (FASTA/FASTQ, optionally .gz)")
+    p.add_argument("--genomefile", default="genome.fasta")
+    p.add_argument("-o", "--outputfile", default="output.txt")
+    p.add_argument("--outputdirectory", default=".")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-k", "--kmerlength", type=int, default=16)
+    p.add_argument("-m", "--hashmaps", type=int, default=16,
+                   help="number of hash tables (hash functions)")
+    p.add_argument("--windowSize", type=int, default=128)
+    p.add_argument("--minTableHits", type=int, default=4)
+    p.add_argument("--batchsize", type=int, default=2048)
+    p.add_argument("--maxResultsPerMap", type=int, default=65535)
+    p.add_argument("--maxHammingPercent", type=float, default=0.05)
+    p.add_argument("--hashtableLoadfactor", type=float, default=0.8)
+    p.add_argument("--mappertype", choices=["SW", "edlib"], default="SW")
+    p.add_argument("--pairmode", choices=["SE", "PE"], default="SE")
+    p.add_argument("--memHashtables", default="0",
+                   help="memory limit for hash tables (K/M/G suffixes)")
+    p.add_argument("--memTotal", default="0")
+    p.add_argument("--save-preprocessedreads-to", default="")
+    p.add_argument("--load-preprocessedreads-from", default="")
+    p.add_argument("--save-hashtables-to", default="")
+    p.add_argument("--load-hashtables-from", default="")
+    p.add_argument("--tempdir", default=".")
+    p.add_argument("-p", "--showProgress", action="store_true")
+    p.add_argument("-q", "--useQualityScores", action="store_true")
+    p.add_argument("--replicateGpuData", action="store_true")
+    # TPU capacity knobs
+    p.add_argument("--probeCap", type=int, default=64)
+    p.add_argument("--candidatesPerRead", type=int, default=32)
+    p.add_argument("--maxReadLength", type=int, default=160)
+    return p
+
+
+def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
+    args = build_parser().parse_args(argv)
+    return ProgramOptions(
+        inputfiles=args.inputfiles,
+        genomefile=args.genomefile,
+        outputfile=args.outputfile,
+        outputdirectory=args.outputdirectory,
+        threads=args.threads,
+        kmer_length=args.kmerlength,
+        num_hash_functions=args.hashmaps,
+        window_size=args.windowSize,
+        min_table_hits=args.minTableHits,
+        batchsize=args.batchsize,
+        max_results_per_map=args.maxResultsPerMap,
+        max_hamming_percent=args.maxHammingPercent,
+        hashtable_load_factor=args.hashtableLoadfactor,
+        mapper_type=MapperType.SW if args.mappertype == "SW"
+        else MapperType.EDLIB,
+        pair_type=SequencePairType.SINGLE_END if args.pairmode == "SE"
+        else SequencePairType.PAIRED_END,
+        memory_for_hashtables=parse_memory_string(args.memHashtables),
+        memory_total_limit=parse_memory_string(args.memTotal),
+        save_binary_reads_to=args.save_preprocessedreads_to,
+        load_binary_reads_from=args.load_preprocessedreads_from,
+        save_hashtables_to=args.save_hashtables_to,
+        load_hashtables_from=args.load_hashtables_from,
+        tempdirectory=args.tempdir,
+        show_progress=args.showProgress,
+        use_quality_scores=args.useQualityScores,
+        replicate_index=args.replicateGpuData,
+        probe_cap=args.probeCap,
+        candidates_per_read_cap=args.candidatesPerRead,
+        max_read_length=args.maxReadLength,
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    opts = options_from_args(argv)
+    from .pipeline.driver import run_pipeline
+    run_pipeline(opts)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,94 @@
+"""End-to-end driver: STEP 1 coarse map -> STEP 2 SAM -> STEP 3 VCF.
+
+Mirrors the reference driver performMappingGpu (reference:
+src/gpu/main_gpu.cu:859-1286) with the same phase structure and timers:
+STEP1 (read ingest + index + window loop), "process mapping" (CSSW -> SAM),
+"process variant calling" (VCF).  The coarse stage runs on the TPU engine in
+the inverted genome-index orientation (pipeline/engine.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import MapperType, ProgramOptions
+from ..io.genome import Genome
+from ..io.readstore import ReadStorage
+from ..utils.timers import PhaseTimers
+from . import mapping
+from .engine import CoarseMapper, CoarseResults
+
+
+def run_pipeline(opts: ProgramOptions,
+                 reads: Optional[ReadStorage] = None,
+                 genome: Optional[Genome] = None) -> Dict:
+    timers = PhaseTimers()
+
+    with timers.phase("STEP1"):
+        with timers.phase("build_readstorage"):
+            if reads is None:
+                if opts.load_binary_reads_from:
+                    reads = ReadStorage.load(opts.load_binary_reads_from)
+                else:
+                    reads = ReadStorage.from_files(opts.inputfiles)
+                if opts.save_binary_reads_to:
+                    reads.save(opts.save_binary_reads_to)
+        print(f"gpureadstorage: occupied memory: {reads.packed.nbytes}")
+        print(f"Reads: {reads.num_reads}")
+
+        if genome is None:
+            genome = Genome.from_fasta(opts.genomefile)
+        genome_rc = genome.reverse_complement()
+
+        with timers.phase("build_minhasher"):
+            if opts.max_read_length < reads.sequence_length_upper_bound():
+                opts.max_read_length = reads.sequence_length_upper_bound()
+            mapper = CoarseMapper(genome, opts)
+        print(f"window index: {mapper.index.memory_bytes()} bytes, "
+              f"{mapper.table.num_windows} windows")
+
+        with timers.phase("process genome"):
+            bases = reads.bases_matrix(opts.max_read_length).astype(np.int8)
+            results: CoarseResults = mapper.map_reads(bases, reads.lengths)
+        n_mapped = int((results.orientation != 3).sum())
+        print(f"coarse mapped: {n_mapped}/{reads.num_reads} "
+              f"stats={results.stats}")
+
+    with timers.phase("process mapping"):
+        assert opts.mapper_type in (MapperType.SW, MapperType.EDLIB)
+        if opts.mapper_type == MapperType.SW:
+            mappingout = mapping.run_cssw(
+                genome, genome_rc, results.orientation, results.position,
+                results.chromosome_id, reads, opts)
+            sam_path = opts.outputfile + ".SAM"
+            sam_stats = mapping.print_to_sam(mappingout, genome, sam_path)
+        else:
+            from . import mapping_edlib
+            mappingout = mapping_edlib.run_edlib(
+                genome, genome_rc, results.orientation, results.position,
+                results.chromosome_id, reads, opts)
+            sam_path = opts.outputfile + ".SAM"
+            sam_stats = mapping_edlib.print_to_edlib_sam(
+                mappingout, genome, sam_path)
+        print(f"mapped reads: {sam_stats['mapped']}")
+        print(f"unmapped reads: {sam_stats['unmapped']}")
+
+    with timers.phase("process variant calling"):
+        if opts.mapper_type == MapperType.SW:
+            vcf_path = mapping.do_vc(mappingout, genome, opts.outputfile)
+        else:
+            vcf_path = None
+
+    timers.print_all()
+    return {
+        "results": results,
+        "mappingout": mappingout,
+        "sam_path": sam_path,
+        "vcf_path": vcf_path,
+        "timers": timers.totals(),
+        "reads": reads,
+        "genome": genome,
+    }
