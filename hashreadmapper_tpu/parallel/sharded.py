@@ -1,0 +1,243 @@
+"""Multi-device coarse mapping: sharded index + data-parallel read streaming.
+
+TPU-native re-expression of the reference's multi-GPU layer:
+
+  * hash-table sharding over the "table" mesh axis mirrors
+    MultiGpuMinhasher::Layout::EvenShare round-robining tables over GPUs
+    (reference: include/gpu/multigpuminhasher.cuh:277-303); the reference's
+    cudaMemcpyPeerAsync broadcast + partial-result merge (:650-755) becomes
+    an implicit replicated query batch + jax.lax.all_gather over ICI;
+  * read-batch sharding over the "data" mesh axis mirrors the read-storage
+    row sharding of MultiGpu2dArray (multigpuarray.cuh:1315-1345);
+  * the per-read best-hit merge stays device-local because each read's
+    candidates are complete after the table all_gather.
+
+The genome and window geometry are replicated (the per-host replication
+fast path, like SingleGpuMinhasher::makeCopy, singlegpuminhasher.cuh:289);
+genome-region sharding over a third axis is the planned path for
+whole-GRCh38 indexes that exceed one device's HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ProgramOptions
+from ..index import minhash_index as mi
+from ..io.genome import Genome
+from ..ops import minhash, shd
+from ..pipeline.engine import CoarseMapper, _BIG
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def make_mesh(data: int, table: int,
+              devices: Optional[np.ndarray] = None) -> Mesh:
+    if devices is None:
+        devs = np.array(jax.devices()[:data * table]).reshape(data, table)
+    else:
+        devs = np.asarray(devices).reshape(data, table)
+    return Mesh(devs, axis_names=("data", "table"))
+
+
+class ShardedCoarseMapper:
+    """Table-sharded, data-parallel coarse mapper over a 2D mesh."""
+
+    def __init__(self, genome: Genome, opts: ProgramOptions, mesh: Mesh):
+        self.mesh = mesh
+        self.opts = opts
+        n_table = mesh.shape["table"]
+        assert opts.num_hash_functions % n_table == 0, (
+            "num_hash_functions must divide evenly over the table axis")
+        # build the single-device index host-side, then shard its tables
+        self.base = CoarseMapper(genome, opts)
+        idx = self.base.index
+        table_spec = NamedSharding(mesh, P("table"))
+        repl = NamedSharding(mesh, P())
+        self.keys = jax.device_put(idx.keys, table_spec)
+        self.offsets = jax.device_put(idx.offsets, table_spec)
+        self.values = jax.device_put(idx.values, table_spec)
+        self.num_keys = jax.device_put(idx.num_keys, table_spec)
+        self.genome_concat = jax.device_put(self.base.table.genome_concat, repl)
+        self.win_pos = jax.device_put(self.base.table.win_pos, repl)
+        self.win_chrom = jax.device_put(self.base.table.win_chrom, repl)
+        self.chrom_offset = jax.device_put(self.base.table.chrom_offset, repl)
+        self.chrom_len = jax.device_put(self.base.table.chrom_len, repl)
+        self.hash_ids = jax.device_put(
+            jnp.asarray(self.base.hash_ids), repl)
+        f = opts.num_hash_functions
+        self.dropped_keys = jax.device_put(
+            jnp.full((f, 1), jnp.uint32(0xFFFFFFFF)), table_spec)
+        self.dropped_num = jax.device_put(
+            jnp.zeros((f,), dtype=jnp.int32), table_spec)
+        self._step = self._build_step()
+
+    def set_read_drops(self, read_sigs: np.ndarray,
+                       read_valid: np.ndarray) -> None:
+        dk, dn = mi.build_dropped_keys(
+            read_sigs, read_valid, self.opts.max_results_per_map)
+        table_spec = NamedSharding(self.mesh, P("table"))
+        self.dropped_keys = jax.device_put(jnp.asarray(dk), table_spec)
+        self.dropped_num = jax.device_put(jnp.asarray(dn), table_spec)
+        self._step = self._build_step()  # dropped shapes may have changed
+
+    def _build_step(self):
+        opts = self.opts
+        mesh = self.mesh
+
+        def step(keys, offsets, values, num_keys, dropped_keys, dropped_num,
+                 genome_concat, win_pos, win_chrom, chrom_offset, chrom_len,
+                 hash_ids, read_bases, read_len, read_valid):
+            """Runs per (data, table) shard via shard_map."""
+            b, lr = read_bases.shape
+            kcap = opts.candidates_per_read_cap
+
+            sigs, sig_valid = minhash.minhash_signatures(
+                read_bases, read_len, opts.kmer_length, hash_ids)
+            sig_valid = sig_valid & read_valid
+
+            # probe only the local tables with the matching sig columns
+            n_table = jax.lax.axis_size("table")
+            t_idx = jax.lax.axis_index("table")
+            f_local = opts.num_hash_functions // n_table
+            local_sigs = jax.lax.dynamic_slice_in_dim(
+                sigs, t_idx * f_local, f_local, axis=1)
+            cand_local, counts_local = mi.probe_tables(
+                keys, offsets, values, num_keys, local_sigs, sig_valid,
+                opts.probe_cap, dropped_keys=(dropped_keys, dropped_num))
+
+            # merge per-table partials: the reference P2P-gathers per-GPU
+            # counts/values (multigpuminhasher.cuh:740-907); here one
+            # all_gather over ICI re-assembles [B, F, C]
+            cand = jax.lax.all_gather(
+                cand_local, "table", axis=1, tiled=True)
+            counts = jax.lax.all_gather(
+                counts_local, "table", axis=1, tiled=True)
+
+            ids, hit_cnt, num_kept = mi.vote_candidates(
+                cand, opts.min_table_hits, kcap)
+
+            gwin = ids.reshape(-1)
+            pair_valid = gwin != jnp.uint32(0xFFFFFFFF)
+            gwin_c = jnp.where(pair_valid, gwin, 0).astype(jnp.int32)
+            pos = jnp.take(win_pos, gwin_c)
+            chrom = jnp.take(win_chrom, gwin_c)
+            clen = jnp.take(chrom_len, chrom)
+            coff = jnp.take(chrom_offset, chrom)
+
+            rl_rep = jnp.repeat(read_len, kcap)
+            loc = shd.extended_window_location(
+                pos, clen, rl_rep, opts.window_size)
+            params = shd.ShdParams(
+                window_size=opts.window_size,
+                max_ext_len=opts.window_size + opts.max_read_length,
+                max_read_len=lr,
+                max_hamming_percent=opts.max_hamming_percent)
+            res = shd.shd_pairs(
+                genome_concat, coff + loc.start, loc.length, loc.left,
+                jnp.repeat(read_bases, kcap, axis=0), rl_rep, pair_valid,
+                params)
+
+            ham = res.hamming.reshape(b, kcap)
+            shf = res.shift.reshape(b, kcap)
+            ori = res.orientation.reshape(b, kcap)
+            good = ori != shd.NONE
+            ham_m = jnp.where(good, ham, _BIG)
+            min_h = jnp.min(ham_m, axis=1, keepdims=True)
+            slot_key = jnp.where(good & (ham_m == min_h),
+                                 gwin_c.reshape(b, kcap), _BIG)
+            best_slot = jnp.argmin(slot_key, axis=1)
+            has = jnp.any(good, axis=1)
+            take = lambda m: jnp.take_along_axis(
+                m, best_slot[:, None], axis=1)[:, 0]
+            out_ori = jnp.where(has, take(ori), jnp.int8(shd.NONE))
+            out_ham = jnp.where(has, take(ham), 0)
+            out_shift = jnp.where(has, take(shf), 0)
+            best_gwin = take(gwin_c.reshape(b, kcap))
+            out_chrom = jnp.where(has, jnp.take(win_chrom, best_gwin), 0)
+            out_pos = jnp.where(has, jnp.take(win_pos, best_gwin), 0)
+            out_gwin = jnp.where(has, best_gwin.astype(jnp.uint32),
+                                 jnp.uint32(0xFFFFFFFF))
+            overflow = (jnp.sum(counts > opts.probe_cap)
+                        + jnp.sum(num_kept > kcap))
+            # identical on every table shard; harmless psum-mean keeps the
+            # output replicated along "table" for shard_map's rep checking
+            overflow = jax.lax.psum(overflow, "table") // jax.lax.axis_size(
+                "table")
+            return (out_ori, out_ham, out_shift, out_chrom, out_pos,
+                    out_gwin, overflow)
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        data_spec = P("data")
+        table_spec = P("table")
+        repl = P()
+        mapped = shard_map(
+            step, mesh=mesh,
+            in_specs=(table_spec, table_spec, table_spec, table_spec,
+                      table_spec, table_spec,
+                      repl, repl, repl, repl, repl, repl,
+                      data_spec, data_spec, data_spec),
+            out_specs=(data_spec,) * 6 + (repl,),
+            check_rep=False)
+        return jax.jit(mapped)
+
+    def map_batch(self, read_bases: jnp.ndarray, read_len: jnp.ndarray,
+                  read_valid: jnp.ndarray):
+        return self._step(
+            self.keys, self.offsets, self.values, self.num_keys,
+            self.dropped_keys, self.dropped_num,
+            self.genome_concat, self.win_pos, self.win_chrom,
+            self.chrom_offset, self.chrom_len, self.hash_ids,
+            read_bases, read_len, read_valid)
+
+    def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray):
+        """Host driver over data-parallel batches (batch = batchsize *
+        data-axis size rows)."""
+        opts = self.opts
+        n, lr = read_bases.shape
+        if lr < opts.max_read_length:
+            read_bases = np.pad(
+                read_bases, ((0, 0), (0, opts.max_read_length - lr)))
+        d = self.mesh.shape["data"]
+        bsz = opts.batchsize * d
+        data_sh = NamedSharding(self.mesh, P("data"))
+
+        out_ori = np.full(n, shd.NONE, dtype=np.int8)
+        out_ham = np.zeros(n, dtype=np.int32)
+        out_shift = np.zeros(n, dtype=np.int32)
+        out_chrom = np.zeros(n, dtype=np.int32)
+        out_pos = np.zeros(n, dtype=np.int32)
+        out_gwin = np.full(n, SENTINEL, dtype=np.uint32)
+        overflow = 0
+        for start in range(0, n, bsz):
+            stop = min(start + bsz, n)
+            nb = stop - start
+            chunk = read_bases[start:stop]
+            lens = read_lengths[start:stop]
+            valid = np.ones(nb, dtype=bool)
+            if nb < bsz:
+                chunk = np.pad(chunk, ((0, bsz - nb), (0, 0)))
+                lens = np.pad(lens, (0, bsz - nb))
+                valid = np.pad(valid, (0, bsz - nb))
+            args = [jax.device_put(jnp.asarray(x), data_sh)
+                    for x in (chunk, lens, valid)]
+            ori, ham, shf, chrom, pos, gwin, ovf = self.map_batch(*args)
+            out_ori[start:stop] = np.asarray(ori)[:nb]
+            out_ham[start:stop] = np.asarray(ham)[:nb]
+            out_shift[start:stop] = np.asarray(shf)[:nb]
+            out_chrom[start:stop] = np.asarray(chrom)[:nb]
+            out_pos[start:stop] = np.asarray(pos)[:nb]
+            out_gwin[start:stop] = np.asarray(gwin)[:nb]
+            overflow += int(ovf)
+        return (out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin,
+                overflow)
