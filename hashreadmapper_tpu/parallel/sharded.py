@@ -181,14 +181,17 @@ class ShardedCoarseMapper:
         data_spec = P("data")
         table_spec = P("table")
         repl = P()
-        mapped = shard_map(
-            step, mesh=mesh,
+        kwargs = dict(
+            mesh=mesh,
             in_specs=(table_spec, table_spec, table_spec, table_spec,
                       table_spec, table_spec,
                       repl, repl, repl, repl, repl, repl,
                       data_spec, data_spec, data_spec),
-            out_specs=(data_spec,) * 6 + (repl,),
-            check_rep=False)
+            out_specs=(data_spec,) * 6 + (repl,))
+        try:
+            mapped = shard_map(step, check_vma=False, **kwargs)
+        except TypeError:
+            mapped = shard_map(step, check_rep=False, **kwargs)
         return jax.jit(mapped)
 
     def map_batch(self, read_bases: jnp.ndarray, read_len: jnp.ndarray,
