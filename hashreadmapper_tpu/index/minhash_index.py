@@ -93,16 +93,21 @@ def build_csr_index(signatures: np.ndarray, valid: np.ndarray,
         sig_s, val_s = sig_t[order], val_t[order]
         ukeys, starts, counts = np.unique(
             sig_s, return_index=True, return_counts=True)
-        if max_values_per_key is not None:
+        dropping = (max_values_per_key is not None
+                    and (counts > max_values_per_key).any())
+        if dropping:
             keep = counts <= max_values_per_key
             ukeys, starts, counts = ukeys[keep], starts[keep], counts[keep]
-        # re-pack values contiguously for kept keys
-        idx = np.concatenate(
-            [np.arange(s, s + c) for s, c in zip(starts, counts)]
-        ) if len(ukeys) else np.empty(0, dtype=np.int64)
-        vals_packed = val_s[idx]
         offsets = np.zeros(len(ukeys) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
+        if dropping and len(ukeys):
+            # vectorized re-pack of surviving keys' value runs
+            idx = (np.repeat(starts, counts)
+                   + np.arange(offsets[-1], dtype=np.int64)
+                   - np.repeat(offsets[:-1], counts))
+            vals_packed = val_s[idx]
+        else:
+            vals_packed = val_s if len(ukeys) else val_s[:0]
         keys_l.append(ukeys.astype(np.uint32))
         offs_l.append(offsets)
         vals_l.append(vals_packed.astype(np.uint32))
@@ -149,6 +154,59 @@ def build_dropped_keys(signatures: np.ndarray, valid: np.ndarray,
     for t in range(f):
         out[t, :len(dropped[t])] = dropped[t]
     return out, np.array([len(d) for d in dropped], dtype=np.int32)
+
+
+@jax.jit
+def _build_one_table_device(sigs_col: jnp.ndarray, valid: jnp.ndarray):
+    """Device CSR build for one table (static shapes, padded to N items).
+
+    Returns (keys[N] asc + SENTINEL pad, offsets[N+1], values[N], num_keys).
+    The reference's GroupByKey is exactly this radix-sort + reduce_by_key
+    (groupbykey.hpp:68-158); the warpcore path also compacts to this CSR
+    (gpuhashtable.cuh:726-833).
+    """
+    n = sigs_col.shape[0]
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    key_in = jnp.where(valid, sigs_col, jnp.uint32(SENTINEL))
+    order = jnp.argsort(key_in, stable=True)
+    keys_sorted = key_in[order]
+    vals_sorted = ids[order]
+
+    is_real = keys_sorted != jnp.uint32(SENTINEL)
+    prev = jnp.concatenate([jnp.full((1,), SENTINEL, dtype=jnp.uint32),
+                            keys_sorted[:-1]])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_start = ((keys_sorted != prev) | (iota == 0)) & is_real
+    rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    num_keys = jnp.max(jnp.where(is_start, rank + 1, 0))
+
+    keys_u = jnp.full((n,), SENTINEL, dtype=jnp.uint32)
+    keys_u = keys_u.at[jnp.where(is_start, rank, n)].set(
+        keys_sorted, mode="drop")
+    n_valid = jnp.sum(is_real.astype(jnp.int32))
+    offsets = jnp.full((n + 1,), 0, dtype=jnp.int32)
+    offsets = offsets.at[jnp.where(is_start, rank, n + 1)].set(
+        iota, mode="drop")
+    offsets = offsets.at[jnp.minimum(num_keys, n)].set(n_valid)
+    values = jnp.where(is_real, vals_sorted, jnp.uint32(SENTINEL))
+    return keys_u, offsets, values, num_keys
+
+
+def build_csr_index_device(signatures, valid, kmer_length: int,
+                           hash_ids) -> CsrIndex:
+    """All-device CSR build: one vmapped sort/scatter per table.
+
+    No key dropping (used for the window index, whose keys are never capped
+    — see build_csr_index for the capped host build).  Arrays stay on device;
+    padded key width U equals the item count N.
+    """
+    sigs = jnp.asarray(signatures)
+    v = jnp.asarray(valid)
+    keys, offsets, values, num_keys = jax.vmap(
+        _build_one_table_device, in_axes=(1, None))(sigs, v)
+    return CsrIndex(keys=keys, offsets=offsets, values=values,
+                    num_keys=num_keys, kmer_length=kmer_length,
+                    hash_ids=np.asarray(hash_ids, dtype=np.uint32))
 
 
 # ---------------------------------------------------------------------------

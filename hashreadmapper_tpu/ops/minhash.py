@@ -130,3 +130,26 @@ def minhash_signatures(bases: jnp.ndarray, lengths: jnp.ndarray, k: int,
     seq_valid = lengths >= k
     sig = jnp.where(seq_valid[:, None], sig, jnp.uint32(SIG_SENTINEL))
     return sig, seq_valid
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def minhash_signatures_chunked(bases: jnp.ndarray, lengths: jnp.ndarray,
+                               k: int, hash_ids: jnp.ndarray, chunk: int
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Signatures for a large padded batch via lax.map over fixed chunks.
+
+    One compiled program, one output buffer — important on transports where
+    each distinct device->host transfer shape pays a setup cost.  The row
+    count must be a multiple of `chunk` (pad with zero-length rows).
+    """
+    n, maxlen = bases.shape
+    assert n % chunk == 0, "pad rows to a multiple of chunk"
+    bs = bases.reshape(n // chunk, chunk, maxlen)
+    ls = lengths.reshape(n // chunk, chunk)
+
+    def body(args):
+        b, l = args
+        return minhash_signatures(b, l, k, hash_ids)
+
+    sigs, valid = jax.lax.map(body, (bs, ls))
+    return sigs.reshape(n, -1), valid.reshape(n)

@@ -117,27 +117,35 @@ class CoarseMapper:
 
         chrom_offset = np.asarray(self.table.chrom_offset)
         concat = np.asarray(self.table.genome_concat)
-        sigs = np.empty((w, opts.num_hash_functions), dtype=np.uint32)
-        valid = np.empty(w, dtype=bool)
         ws = opts.window_size
-        for start in range(0, w, sig_batch):
-            stop = min(start + sig_batch, w)
-            n = stop - start
-            gstart = chrom_offset[win_chrom[start:stop]] + win_pos[start:stop]
+        sig_parts = []
+        valid_parts = []
+        superbatch = sig_batch * 64  # bounds host/device staging memory
+        for s0 in range(0, w, superbatch):
+            s1 = min(s0 + superbatch, w)
+            n = s1 - s0
+            n_pad = ((n + sig_batch - 1) // sig_batch) * sig_batch
+            gstart = chrom_offset[win_chrom[s0:s1]] + win_pos[s0:s1]
             idx = gstart[:, None] + np.arange(ws)[None, :]
             idx = np.minimum(idx, len(concat) - 1)
-            bases = concat[idx]
-            s, v = minhash.minhash_signatures(
-                jnp.asarray(bases), jnp.asarray(win_len[start:stop]),
-                opts.kmer_length, self._hash_ids_dev)
-            sigs[start:stop] = np.asarray(s)
-            valid[start:stop] = np.asarray(v)
+            bases = np.zeros((n_pad, ws), dtype=np.int8)
+            bases[:n] = concat[idx]
+            lens = np.zeros(n_pad, dtype=np.int32)
+            lens[:n] = win_len[s0:s1]
+            s, v = minhash.minhash_signatures_chunked(
+                jnp.asarray(bases), jnp.asarray(lens), opts.kmer_length,
+                self._hash_ids_dev, sig_batch)
+            sig_parts.append(s[:n])
+            valid_parts.append(v[:n])
 
+        sigs = jnp.concatenate(sig_parts) if len(sig_parts) > 1 else sig_parts[0]
+        valid = (jnp.concatenate(valid_parts) if len(valid_parts) > 1
+                 else valid_parts[0])
         # window keys are never dropped: in the reference the windows are the
-        # queries, and query signatures are never capped
-        self.index = mi.build_csr_index(
-            sigs, valid, opts.kmer_length, self.hash_ids,
-            max_values_per_key=None)
+        # queries, and query signatures are never capped.  The CSR build runs
+        # entirely on device — signatures never leave HBM.
+        self.index = mi.build_csr_index_device(
+            sigs, valid, opts.kmer_length, self.hash_ids)
 
     # ------------------------------------------------------------------
     # read-side key dropping (parity with reference read-index build)
@@ -211,18 +219,21 @@ class CoarseMapper:
         has = jnp.any(good, axis=1)
 
         take = lambda m: jnp.take_along_axis(m, best_slot[:, None], axis=1)[:, 0]
-        out_ori = jnp.where(has, take(ori), jnp.int8(shd.NONE))
+        out_ori = jnp.where(has, take(ori).astype(jnp.int32), shd.NONE)
         out_ham = jnp.where(has, take(ham), 0)
         out_shift = jnp.where(has, take(shf), 0)
         best_gwin_i = take(gwin_c.reshape(b, kcap))
         out_chrom = jnp.where(has, jnp.take(self.table.win_chrom, best_gwin_i), 0)
         out_pos = jnp.where(has, jnp.take(self.table.win_pos, best_gwin_i), 0)
-        out_gwin = jnp.where(has, best_gwin_i.astype(jnp.uint32),
-                             jnp.uint32(0xFFFFFFFF))
-        probe_overflow = jnp.sum(counts > opts.probe_cap)
-        vote_overflow = jnp.sum(num_kept > kcap)
-        return (out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin,
-                sigs, sig_valid, probe_overflow, vote_overflow)
+        out_gwin = jnp.where(has, best_gwin_i, -1)  # -1 == SENTINEL bits
+
+        # single packed output: one device->host transfer shape per batch
+        packed = jnp.stack(
+            [out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin],
+            axis=1)
+        overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
+                              jnp.sum(num_kept > kcap)])
+        return packed, overflow
 
     # ------------------------------------------------------------------
     def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray,
@@ -259,16 +270,16 @@ class CoarseMapper:
                 pre_valid = read_lengths >= opts.kmer_length
             self.prepare_read_drops(precomputed_sigs, pre_valid)
 
-        out = CoarseResults(
-            orientation=np.full(n, shd.NONE, dtype=np.int8),
-            hamming=np.zeros(n, dtype=np.int32),
-            shift=np.zeros(n, dtype=np.int32),
-            chromosome_id=np.zeros(n, dtype=np.int32),
-            position=np.zeros(n, dtype=np.int32),
-            global_window_id=np.full(n, SENTINEL, dtype=np.uint32),
-            stats={"probe_overflow": 0, "vote_overflow": 0})
+        if self.dropped is None:
+            # no read-key dropping: empty mask
+            f = opts.num_hash_functions
+            self.dropped = (
+                jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
+                jnp.zeros((f,), dtype=jnp.int32))
 
         bsz = opts.batchsize
+        packed_batches = []
+        overflow_batches = []
         for start in range(0, n, bsz):
             stop = min(start + bsz, n)
             nb = stop - start
@@ -279,22 +290,23 @@ class CoarseMapper:
                 chunk = np.pad(chunk, ((0, bsz - nb), (0, 0)))
                 lens = np.pad(lens, (0, bsz - nb))
                 valid = np.pad(valid, (0, bsz - nb))
-            if self.dropped is None:
-                # no read-key dropping: empty mask
-                f = opts.num_hash_functions
-                self.dropped = (
-                    jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
-                    jnp.zeros((f,), dtype=jnp.int32))
-            (ori, ham, shf, chrom, pos, gwin, _sigs, _sv, p_ovf, v_ovf
-             ) = self._map_batch(
+            packed, overflow = self._map_batch(
                 jnp.asarray(chunk), jnp.asarray(lens), jnp.asarray(valid),
                 self.dropped[0], self.dropped[1])
-            out.orientation[start:stop] = np.asarray(ori)[:nb]
-            out.hamming[start:stop] = np.asarray(ham)[:nb]
-            out.shift[start:stop] = np.asarray(shf)[:nb]
-            out.chromosome_id[start:stop] = np.asarray(chrom)[:nb]
-            out.position[start:stop] = np.asarray(pos)[:nb]
-            out.global_window_id[start:stop] = np.asarray(gwin)[:nb]
-            out.stats["probe_overflow"] += int(p_ovf)
-            out.stats["vote_overflow"] += int(v_ovf)
-        return out
+            # keep results on device; fetch once at the end (the transport
+            # pays a large setup cost per distinct transfer shape)
+            packed_batches.append(packed)
+            overflow_batches.append(overflow)
+
+        all_packed = np.asarray(jnp.concatenate(packed_batches, axis=0))[:n]
+        all_overflow = np.asarray(
+            jnp.stack(overflow_batches).sum(axis=0))
+        return CoarseResults(
+            orientation=all_packed[:, 0].astype(np.int8),
+            hamming=all_packed[:, 1].astype(np.int32),
+            shift=all_packed[:, 2].astype(np.int32),
+            chromosome_id=all_packed[:, 3].astype(np.int32),
+            position=all_packed[:, 4].astype(np.int32),
+            global_window_id=all_packed[:, 5].astype(np.uint32),
+            stats={"probe_overflow": int(all_overflow[0]),
+                   "vote_overflow": int(all_overflow[1])})
