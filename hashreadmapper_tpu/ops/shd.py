@@ -128,7 +128,18 @@ def shd_pairs(genome_concat: jnp.ndarray,
                               jnp.arange(s_max, dtype=jnp.int32))  # [S, P, 2]
     matches = matches.transpose(1, 2, 0)                          # [P, 2, S]
     hamming = read_len[:, None, None] - matches.astype(jnp.int32)
+    return finalize_shd(hamming, anchor_length, anchor_left, read_len,
+                        pair_valid, params)
 
+
+def finalize_shd(hamming: jnp.ndarray, anchor_length: jnp.ndarray,
+                 anchor_left: jnp.ndarray, read_len: jnp.ndarray,
+                 pair_valid: jnp.ndarray, params: ShdParams) -> ShdResult:
+    """Shared argmin/threshold post-processing over a [P, 2, S] matrix.
+
+    Tie rules mirror the reference kernel's iteration order (forward before
+    RC, shifts ascending, strictly-smaller score wins)."""
+    p, _, s_max = hamming.shape
     shift_iota = jnp.arange(s_max, dtype=jnp.int32)[None, None, :]
     shift_ok = shift_iota <= (anchor_length - read_len)[:, None, None]
     hamming = jnp.where(shift_ok, hamming, _BIG)
@@ -154,3 +165,56 @@ def shd_pairs(genome_concat: jnp.ndarray,
     return ShdResult(hamming=score.astype(jnp.int32),
                      shift=shift_out.astype(jnp.int32),
                      orientation=orientation)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def shd_pairs_bitplane(genome_concat: jnp.ndarray,
+                       anchor_global_start: jnp.ndarray,
+                       anchor_length: jnp.ndarray,
+                       anchor_left: jnp.ndarray,
+                       read_bases: jnp.ndarray,
+                       read_len: jnp.ndarray,
+                       pair_valid: jnp.ndarray,
+                       params: ShdParams) -> ShdResult:
+    """SHD via the Pallas bit-plane popcount kernel (ops/shd_pallas.py).
+
+    Bit-identical to shd_pairs: the hamming matrix is exact and the shared
+    finalize_shd applies the same tie rules."""
+    from . import shd_pallas
+
+    p, lr = read_bases.shape
+    assert lr == params.max_read_len
+    s_max = params.max_ext_len
+    wr = (lr + 31) // 32
+    wa_pad = (s_max - 1) // 32 + wr + 2
+
+    pos_iota = jnp.arange(wa_pad * 32, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.clip(
+        anchor_global_start[:, None] + pos_iota, 0, genome_concat.shape[0] - 1)
+    anchor = jnp.take(genome_concat, gather_idx)                  # [P, 32*wa]
+    anchor_mask_len = jnp.minimum(anchor_length, wa_pad * 32)
+    a_hi, a_lo, _ = shd_pallas.pack_bitplanes(anchor, anchor_mask_len, wa_pad)
+
+    read_iota = jnp.arange(lr, dtype=jnp.int32)[None, :]
+    src = jnp.clip(read_len[:, None] - 1 - read_iota, 0, lr - 1)
+    rc_bases = (3 - jnp.take_along_axis(
+        read_bases.astype(jnp.int32), src, axis=1)).astype(jnp.int8)
+    r_hi_f, r_lo_f, mask = shd_pallas.pack_bitplanes(read_bases, read_len, wr)
+    r_hi_r, r_lo_r, _ = shd_pallas.pack_bitplanes(rc_bases, read_len, wr)
+
+    # pad P to a lane multiple
+    pad = (-p) % shd_pallas.LANES
+    if pad:
+        padder = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        a_hi, a_lo = padder(a_hi), padder(a_lo)
+        r_hi_f, r_lo_f = padder(r_hi_f), padder(r_lo_f)
+        r_hi_r, r_lo_r, mask = padder(r_hi_r), padder(r_lo_r), padder(mask)
+
+    r_hi = jnp.stack([r_hi_f, r_hi_r], axis=1)
+    r_lo = jnp.stack([r_lo_f, r_lo_r], axis=1)
+    interpret = jax.default_backend() != "tpu"
+    ham = shd_pallas.shd_hamming_matrix(
+        a_hi, a_lo, r_hi, r_lo, mask, s_max, wa_pad, wr,
+        interpret=interpret)[:p]
+    return finalize_shd(ham.astype(jnp.int32), anchor_length, anchor_left,
+                        read_len, pair_valid, params)

@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: bit-plane shifted-hamming-distance.
+
+The TPU-native re-design of the reference's SHD hot kernel
+(reference: src/gpu/hammingdistancekernels.cu:132-263).  The reference's
+2-bit-HiLo layout (sequencehelpers.hpp:408-530) makes hamming distance a
+popcount of plane XORs; here the planes live as int32 words with pairs on
+the 128-wide lane axis and words on the sublane axis, so each (shift, word)
+step is one VPU op across 128 pairs:
+
+    mismatch_word = ((a_hi ^ r_hi) | (a_lo ^ r_lo)) & read_mask
+    hamming(s)    = sum_w popcount(mismatch_word)
+
+Sub-word shifts are built by combining adjacent anchor words; both
+orientations are evaluated (the RC plane words are precomputed outside).
+The kernel emits the full [P, 2, S] hamming matrix; threshold/argmin
+post-processing stays in XLA so results are bit-identical to ops/shd.py's
+one-hot scan (same tie rules).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_BIG16 = 0x7FFF
+
+
+def pack_bitplanes(bases: jnp.ndarray, lengths: jnp.ndarray, nwords: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[N, L] int8 bases -> (hi, lo, mask) [N, nwords] int32 planes.
+
+    Bit j of word w covers position w*32 + j.  mask has 1-bits exactly at
+    positions < length (so XOR garbage past the end never counts).
+    """
+    n, maxlen = bases.shape
+    width = nwords * 32
+    b = bases.astype(jnp.int32)
+    if width > maxlen:
+        b = jnp.pad(b, ((0, 0), (0, width - maxlen)))
+    else:
+        b = b[:, :width]
+    pos = jnp.arange(width, dtype=jnp.int32)[None, :]
+    in_len = pos < lengths[:, None]
+    hi_bits = jnp.where(in_len, (b >> 1) & 1, 0)
+    lo_bits = jnp.where(in_len, b & 1, 0)
+    shifts = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+
+    def to_words(bits):
+        return jnp.sum(bits.reshape(n, nwords, 32) << shifts, axis=-1,
+                       dtype=jnp.int32)
+
+    return to_words(hi_bits), to_words(lo_bits), to_words(
+        in_len.astype(jnp.int32))
+
+
+def _shd_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref, out_ref,
+                *, n_shifts: int, wr: int):
+    """One grid step: 128 pairs; anchors [Wa, 128], reads [2*Wr, 128]."""
+    r_hi = r_hi_ref[...].astype(jnp.uint32)   # [2*Wr, 128] fwd then rc
+    r_lo = r_lo_ref[...].astype(jnp.uint32)
+    mask = mask_ref[...].astype(jnp.uint32)   # [Wr, 128]
+
+    def per_shift(s, carry):
+        word = s // 32
+        bit = jnp.uint32(s % 32)
+        a_h = a_hi_ref[pl.ds(word, wr + 1), :].astype(jnp.uint32)
+        a_l = a_lo_ref[pl.ds(word, wr + 1), :].astype(jnp.uint32)
+        up = jnp.minimum(jnp.uint32(32) - bit, jnp.uint32(31))
+        hi_part_h = jnp.where(bit == 0, jnp.uint32(0), a_h[1:wr + 1] << up)
+        hi_part_l = jnp.where(bit == 0, jnp.uint32(0), a_l[1:wr + 1] << up)
+        sa_hi = (a_h[0:wr] >> bit) | hi_part_h                  # [wr, 128]
+        sa_lo = (a_l[0:wr] >> bit) | hi_part_l
+        for o in range(2):
+            mm = ((sa_hi ^ r_hi[o * wr:(o + 1) * wr])
+                  | (sa_lo ^ r_lo[o * wr:(o + 1) * wr])) & mask
+            ham = jnp.sum(
+                jax.lax.population_count(mm).astype(jnp.int32), axis=0)
+            out_ref[o, s, :] = ham
+        return carry
+
+    jax.lax.fori_loop(0, n_shifts, per_shift, 0)
+
+
+@partial(jax.jit, static_argnames=("n_shifts", "wa", "wr", "interpret"))
+def shd_hamming_matrix(anchor_hi, anchor_lo, read_hi_both, read_lo_both,
+                       read_mask, n_shifts: int, wa: int, wr: int,
+                       interpret: bool = False):
+    """Full hamming matrix for P pairs (P multiple of 128).
+
+    anchor planes: [P, wa+wr+1] int32 (padded so word+w+1 is in bounds);
+    read planes: [P, 2, wr]; mask: [P, wr].
+    Returns [P, 2, n_shifts] int16.
+    """
+    p = anchor_hi.shape[0]
+    assert p % LANES == 0
+    tiles = p // LANES
+    wa_pad = anchor_hi.shape[1]
+
+    def spec(width):
+        return pl.BlockSpec((width, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    # transpose to [words, P] so pairs ride the lane axis
+    a_hi = anchor_hi.T
+    a_lo = anchor_lo.T
+    r_hi = read_hi_both.reshape(p, 2 * wr).T
+    r_lo = read_lo_both.reshape(p, 2 * wr).T
+    m = read_mask.T
+
+    out = pl.pallas_call(
+        partial(_shd_kernel, n_shifts=n_shifts, wr=wr),
+        grid=(tiles,),
+        in_specs=[spec(wa_pad), spec(wa_pad), spec(2 * wr), spec(2 * wr),
+                  spec(wr)],
+        out_specs=pl.BlockSpec((2, n_shifts, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, n_shifts, p), jnp.int32),
+        interpret=interpret,
+    )(a_hi, a_lo, r_hi, r_lo, m)
+    return out.transpose(2, 0, 1)

@@ -199,7 +199,7 @@ class CoarseMapper:
             max_ext_len=opts.window_size + opts.max_read_length,
             max_read_len=lr,
             max_hamming_percent=opts.max_hamming_percent)
-        res = shd.shd_pairs(
+        res = shd.shd_pairs_bitplane(
             self.table.genome_concat, coff + loc.start, loc.length, loc.left,
             jnp.repeat(read_bases, kcap, axis=0), rl_rep, pair_valid, params)
 
