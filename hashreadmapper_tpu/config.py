@@ -79,6 +79,12 @@ class ProgramOptions:
     inputfiles: List[str] = dataclasses.field(default_factory=list)
 
     # --- TPU-specific fixed-capacity knobs (replace dynamic shapes) ---
+    # Bisulfite-aware seeding (BASELINE config 2): index genome windows in
+    # both collapsed spaces (C->T and G->A) with forward k-mers and compare
+    # SHD orientations in their matching spaces.  Off = reference-parity
+    # seeding on raw canonical k-mers (the reference's 3N seeding is
+    # commented out, hammingdistancekernels.cu:204).
+    three_n_seeding: bool = False
     # Max candidate window ids returned per (read, table) probe.
     probe_cap: int = 64
     # Max candidate windows kept per read after the min-table-hits vote.

@@ -95,9 +95,34 @@ def _min_u64_masked(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray,
     return jnp.squeeze(min_hi, axis=axis), min_lo
 
 
-@partial(jax.jit, static_argnames=("k",))
+def forward_kmers(bases: jnp.ndarray, lengths: jnp.ndarray, k: int
+                  ) -> Tuple[u64.U64, jnp.ndarray]:
+    """All forward (non-canonical) k-mers of padded base rows.
+
+    Used by the 3N seeding mode, where the C->T / G->A collapses break
+    reverse-complement symmetry and canonicalization would mix spaces.
+    """
+    n, maxlen = bases.shape
+    assert 1 <= k <= 32
+    npos = maxlen - k + 1
+    b = bases.astype(jnp.uint32)
+    hi = jnp.zeros((n, npos), dtype=jnp.uint32)
+    lo = jnp.zeros((n, npos), dtype=jnp.uint32)
+    for i in range(k):
+        col = b[:, i:i + npos]
+        fshift = 2 * (k - 1 - i)
+        if fshift >= 32:
+            hi = hi | (col << (fshift - 32))
+        else:
+            lo = lo | (col << fshift)
+    pos = jnp.arange(npos, dtype=jnp.int32)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    return (hi, lo), valid
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
 def minhash_signatures(bases: jnp.ndarray, lengths: jnp.ndarray, k: int,
-                       hash_ids: jnp.ndarray
+                       hash_ids: jnp.ndarray, canonical: bool = True
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minhash signatures, bit-exact with minhashSignatures3264Kernel.
 
@@ -106,12 +131,17 @@ def minhash_signatures(bases: jnp.ndarray, lengths: jnp.ndarray, k: int,
       lengths: [N] int32 sequence lengths.
       k: static k, 1..16 (signature then fits in uint32 after masking).
       hash_ids: [F] uint32 hash-function ids (< 64).
+      canonical: min(kmer, revcomp) as the reference does; False = forward
+        k-mers only (3N seeding mode).
 
     Returns:
       (sig [N, F] uint32, valid [N] bool).  Invalid rows carry SIG_SENTINEL.
     """
     assert 1 <= k <= 16, "device signatures restricted to k<=16 (uint32)"
-    (chi, clo), kvalid = canonical_kmers(bases, lengths, k)
+    if canonical:
+        (chi, clo), kvalid = canonical_kmers(bases, lengths, k)
+    else:
+        (chi, clo), kvalid = forward_kmers(bases, lengths, k)
 
     # hash input = canonical kmer + hash id (u64 add with carry)
     f = hash_ids.astype(jnp.uint32)[None, :, None]          # [1, F, 1]
@@ -132,9 +162,10 @@ def minhash_signatures(bases: jnp.ndarray, lengths: jnp.ndarray, k: int,
     return sig, seq_valid
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
+@partial(jax.jit, static_argnames=("k", "chunk", "canonical"))
 def minhash_signatures_chunked(bases: jnp.ndarray, lengths: jnp.ndarray,
-                               k: int, hash_ids: jnp.ndarray, chunk: int
+                               k: int, hash_ids: jnp.ndarray, chunk: int,
+                               canonical: bool = True
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Signatures for a large padded batch via lax.map over fixed chunks.
 
@@ -149,7 +180,7 @@ def minhash_signatures_chunked(bases: jnp.ndarray, lengths: jnp.ndarray,
 
     def body(args):
         b, l = args
-        return minhash_signatures(b, l, k, hash_ids)
+        return minhash_signatures(b, l, k, hash_ids, canonical=canonical)
 
     sigs, valid = jax.lax.map(body, (bs, ls))
     return sigs.reshape(n, -1), valid.reshape(n)

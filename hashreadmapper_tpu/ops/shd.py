@@ -202,19 +202,84 @@ def shd_pairs_bitplane(genome_concat: jnp.ndarray,
     r_hi_f, r_lo_f, mask = shd_pallas.pack_bitplanes(read_bases, read_len, wr)
     r_hi_r, r_lo_r, _ = shd_pallas.pack_bitplanes(rc_bases, read_len, wr)
 
-    # pad P to a lane multiple
+    ham = _run_bitplane_kernel(
+        p, a_hi, a_lo, a_hi, a_lo, r_hi_f, r_lo_f, r_hi_r, r_lo_r, mask,
+        s_max, wa_pad, wr)
+    return finalize_shd(ham, anchor_length, anchor_left,
+                        read_len, pair_valid, params)
+
+
+def _run_bitplane_kernel(p, a_hi_fwd, a_lo_fwd, a_hi_rc, a_lo_rc,
+                         r_hi_f, r_lo_f, r_hi_r, r_lo_r, mask,
+                         s_max, wa_pad, wr):
+    from . import shd_pallas
+
     pad = (-p) % shd_pallas.LANES
     if pad:
         padder = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-        a_hi, a_lo = padder(a_hi), padder(a_lo)
+        a_hi_fwd, a_lo_fwd = padder(a_hi_fwd), padder(a_lo_fwd)
+        a_hi_rc, a_lo_rc = padder(a_hi_rc), padder(a_lo_rc)
         r_hi_f, r_lo_f = padder(r_hi_f), padder(r_lo_f)
         r_hi_r, r_lo_r, mask = padder(r_hi_r), padder(r_lo_r), padder(mask)
 
+    a_hi = jnp.stack([a_hi_fwd, a_hi_rc], axis=1)   # [P, 2, wa]
+    a_lo = jnp.stack([a_lo_fwd, a_lo_rc], axis=1)
     r_hi = jnp.stack([r_hi_f, r_hi_r], axis=1)
     r_lo = jnp.stack([r_lo_f, r_lo_r], axis=1)
     interpret = jax.default_backend() != "tpu"
     ham = shd_pallas.shd_hamming_matrix(
         a_hi, a_lo, r_hi, r_lo, mask, s_max, wa_pad, wr,
         interpret=interpret)[:p]
-    return finalize_shd(ham.astype(jnp.int32), anchor_length, anchor_left,
-                        read_len, pair_valid, params)
+    return ham.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def shd_pairs_bitplane_3n(genome_concat: jnp.ndarray,
+                          anchor_global_start: jnp.ndarray,
+                          anchor_length: jnp.ndarray,
+                          anchor_left: jnp.ndarray,
+                          read_bases: jnp.ndarray,
+                          read_len: jnp.ndarray,
+                          pair_valid: jnp.ndarray,
+                          params: ShdParams) -> ShdResult:
+    """Bisulfite-aware SHD: per-orientation collapsed comparison spaces.
+
+    Forward orientation compares CT(read) against CT(anchor); the RC
+    orientation compares GA(RC(read)) against GA(anchor) (equal to
+    RC(CT-collapse of the reverse strand)).  This realizes the conversion
+    the reference left commented out in its kernel
+    (hammingdistancekernels.cu:204) — symmetrically for both strands.
+    """
+    p, lr = read_bases.shape
+    assert lr == params.max_read_len
+    s_max = params.max_ext_len
+    wr = (lr + 31) // 32
+    wa_pad = (s_max - 1) // 32 + wr + 2
+
+    pos_iota = jnp.arange(wa_pad * 32, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.clip(
+        anchor_global_start[:, None] + pos_iota, 0, genome_concat.shape[0] - 1)
+    anchor = jnp.take(genome_concat, gather_idx)
+    anchor_ct = jnp.where(anchor == 1, jnp.int8(3), anchor)
+    anchor_ga = jnp.where(anchor == 2, jnp.int8(0), anchor)
+    anchor_mask_len = jnp.minimum(anchor_length, wa_pad * 32)
+    from . import shd_pallas
+    act_hi, act_lo, _ = shd_pallas.pack_bitplanes(
+        anchor_ct, anchor_mask_len, wa_pad)
+    aga_hi, aga_lo, _ = shd_pallas.pack_bitplanes(
+        anchor_ga, anchor_mask_len, wa_pad)
+
+    read_iota = jnp.arange(lr, dtype=jnp.int32)[None, :]
+    src = jnp.clip(read_len[:, None] - 1 - read_iota, 0, lr - 1)
+    rc_bases = (3 - jnp.take_along_axis(
+        read_bases.astype(jnp.int32), src, axis=1)).astype(jnp.int8)
+    read_ct = jnp.where(read_bases == 1, jnp.int8(3), read_bases)
+    rc_ga = jnp.where(rc_bases == 2, jnp.int8(0), rc_bases)
+    r_hi_f, r_lo_f, mask = shd_pallas.pack_bitplanes(read_ct, read_len, wr)
+    r_hi_r, r_lo_r, _ = shd_pallas.pack_bitplanes(rc_ga, read_len, wr)
+
+    ham = _run_bitplane_kernel(
+        p, act_hi, act_lo, aga_hi, aga_lo, r_hi_f, r_lo_f, r_hi_r, r_lo_r,
+        mask, s_max, wa_pad, wr)
+    return finalize_shd(ham, anchor_length, anchor_left, read_len,
+                        pair_valid, params)

@@ -60,8 +60,10 @@ def pack_bitplanes(bases: jnp.ndarray, lengths: jnp.ndarray, nwords: int
 
 
 def _shd_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref, out_ref,
-                *, n_shifts: int, wr: int):
-    """One grid step: 128 pairs; anchors [Wa, 128], reads [2*Wr, 128]."""
+                *, n_shifts: int, wr: int, wa: int):
+    """One grid step: 128 pairs; anchors [2*Wa, 128] (one plane set per
+    orientation — identical in parity mode, CT/GA in 3N mode), reads
+    [2*Wr, 128] (fwd stacked over rc)."""
     r_hi = r_hi_ref[...].astype(jnp.uint32)   # [2*Wr, 128] fwd then rc
     r_lo = r_lo_ref[...].astype(jnp.uint32)
     mask = mask_ref[...].astype(jnp.uint32)   # [Wr, 128]
@@ -69,14 +71,14 @@ def _shd_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref, out_ref,
     def per_shift(s, carry):
         word = s // 32
         bit = jnp.uint32(s % 32)
-        a_h = a_hi_ref[pl.ds(word, wr + 1), :].astype(jnp.uint32)
-        a_l = a_lo_ref[pl.ds(word, wr + 1), :].astype(jnp.uint32)
         up = jnp.minimum(jnp.uint32(32) - bit, jnp.uint32(31))
-        hi_part_h = jnp.where(bit == 0, jnp.uint32(0), a_h[1:wr + 1] << up)
-        hi_part_l = jnp.where(bit == 0, jnp.uint32(0), a_l[1:wr + 1] << up)
-        sa_hi = (a_h[0:wr] >> bit) | hi_part_h                  # [wr, 128]
-        sa_lo = (a_l[0:wr] >> bit) | hi_part_l
         for o in range(2):
+            a_h = a_hi_ref[pl.ds(o * wa + word, wr + 1), :].astype(jnp.uint32)
+            a_l = a_lo_ref[pl.ds(o * wa + word, wr + 1), :].astype(jnp.uint32)
+            hi_part_h = jnp.where(bit == 0, jnp.uint32(0), a_h[1:wr + 1] << up)
+            hi_part_l = jnp.where(bit == 0, jnp.uint32(0), a_l[1:wr + 1] << up)
+            sa_hi = (a_h[0:wr] >> bit) | hi_part_h              # [wr, 128]
+            sa_lo = (a_l[0:wr] >> bit) | hi_part_l
             mm = ((sa_hi ^ r_hi[o * wr:(o + 1) * wr])
                   | (sa_lo ^ r_lo[o * wr:(o + 1) * wr])) & mask
             ham = jnp.sum(
@@ -93,30 +95,30 @@ def shd_hamming_matrix(anchor_hi, anchor_lo, read_hi_both, read_lo_both,
                        interpret: bool = False):
     """Full hamming matrix for P pairs (P multiple of 128).
 
-    anchor planes: [P, wa+wr+1] int32 (padded so word+w+1 is in bounds);
-    read planes: [P, 2, wr]; mask: [P, wr].
-    Returns [P, 2, n_shifts] int16.
+    anchor planes: [P, 2, wa] int32, one plane set per orientation (wa padded
+    so word+wr+1 stays in bounds); read planes: [P, 2, wr]; mask: [P, wr].
+    Returns [P, 2, n_shifts] int32.
     """
     p = anchor_hi.shape[0]
     assert p % LANES == 0
+    assert anchor_hi.shape[1:] == (2, wa)
     tiles = p // LANES
-    wa_pad = anchor_hi.shape[1]
 
     def spec(width):
         return pl.BlockSpec((width, LANES), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     # transpose to [words, P] so pairs ride the lane axis
-    a_hi = anchor_hi.T
-    a_lo = anchor_lo.T
+    a_hi = anchor_hi.reshape(p, 2 * wa).T
+    a_lo = anchor_lo.reshape(p, 2 * wa).T
     r_hi = read_hi_both.reshape(p, 2 * wr).T
     r_lo = read_lo_both.reshape(p, 2 * wr).T
     m = read_mask.T
 
     out = pl.pallas_call(
-        partial(_shd_kernel, n_shifts=n_shifts, wr=wr),
+        partial(_shd_kernel, n_shifts=n_shifts, wr=wr, wa=wa),
         grid=(tiles,),
-        in_specs=[spec(wa_pad), spec(wa_pad), spec(2 * wr), spec(2 * wr),
+        in_specs=[spec(2 * wa), spec(2 * wa), spec(2 * wr), spec(2 * wr),
                   spec(wr)],
         out_specs=pl.BlockSpec((2, n_shifts, LANES), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),

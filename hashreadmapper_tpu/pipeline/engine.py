@@ -132,9 +132,22 @@ class CoarseMapper:
             bases[:n] = concat[idx]
             lens = np.zeros(n_pad, dtype=np.int32)
             lens[:n] = win_len[s0:s1]
-            s, v = minhash.minhash_signatures_chunked(
-                jnp.asarray(bases), jnp.asarray(lens), opts.kmer_length,
-                self._hash_ids_dev, sig_batch)
+            if opts.three_n_seeding:
+                bdev = jnp.asarray(bases)
+                ldev = jnp.asarray(lens)
+                s_ct, v = minhash.minhash_signatures_chunked(
+                    jnp.where(bdev == 1, jnp.int8(3), bdev), ldev,
+                    opts.kmer_length, self._hash_ids_dev, sig_batch,
+                    canonical=False)
+                s_ga, _ = minhash.minhash_signatures_chunked(
+                    jnp.where(bdev == 2, jnp.int8(0), bdev), ldev,
+                    opts.kmer_length, self._hash_ids_dev, sig_batch,
+                    canonical=False)
+                s = jnp.concatenate([s_ct, s_ga], axis=1)   # [n, 2F]
+            else:
+                s, v = minhash.minhash_signatures_chunked(
+                    jnp.asarray(bases), jnp.asarray(lens), opts.kmer_length,
+                    self._hash_ids_dev, sig_batch)
             sig_parts.append(s[:n])
             valid_parts.append(v[:n])
 
@@ -172,8 +185,21 @@ class CoarseMapper:
         b, lr = read_bases.shape
         kcap = opts.candidates_per_read_cap
 
-        sigs, sig_valid = minhash.minhash_signatures(
-            read_bases, read_len, opts.kmer_length, self._hash_ids_dev)
+        if opts.three_n_seeding:
+            from ..ops import encode
+            read_ct = jnp.where(read_bases == 1, jnp.int8(3), read_bases)
+            rc = encode.revcomp_bases(read_bases, read_len)
+            rc_ga = jnp.where(rc == 2, jnp.int8(0), rc)
+            sig_ct, sig_valid = minhash.minhash_signatures(
+                read_ct, read_len, opts.kmer_length, self._hash_ids_dev,
+                canonical=False)
+            sig_ga, _ = minhash.minhash_signatures(
+                rc_ga, read_len, opts.kmer_length, self._hash_ids_dev,
+                canonical=False)
+            sigs = jnp.concatenate([sig_ct, sig_ga], axis=1)   # [B, 2F]
+        else:
+            sigs, sig_valid = minhash.minhash_signatures(
+                read_bases, read_len, opts.kmer_length, self._hash_ids_dev)
         sig_valid = sig_valid & read_valid
 
         cand, counts = mi.probe_tables(
@@ -199,7 +225,9 @@ class CoarseMapper:
             max_ext_len=opts.window_size + opts.max_read_length,
             max_read_len=lr,
             max_hamming_percent=opts.max_hamming_percent)
-        res = shd.shd_pairs_bitplane(
+        shd_fn = (shd.shd_pairs_bitplane_3n if opts.three_n_seeding
+                  else shd.shd_pairs_bitplane)
+        res = shd_fn(
             self.table.genome_concat, coff + loc.start, loc.length, loc.left,
             jnp.repeat(read_bases, kcap, axis=0), rl_rep, pair_valid, params)
 
@@ -272,7 +300,7 @@ class CoarseMapper:
 
         if self.dropped is None:
             # no read-key dropping: empty mask
-            f = opts.num_hash_functions
+            f = opts.num_hash_functions * (2 if opts.three_n_seeding else 1)
             self.dropped = (
                 jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
                 jnp.zeros((f,), dtype=jnp.int32))

@@ -1,0 +1,86 @@
+"""3N bisulfite-aware seeding (config 2): maps fully-converted BS reads."""
+
+import random
+
+import numpy as np
+
+from hashreadmapper_tpu.config import ProgramOptions
+from hashreadmapper_tpu.cpu import oracle
+from hashreadmapper_tpu.io.genome import Genome
+from hashreadmapper_tpu.pipeline.engine import CoarseMapper
+
+
+def _simulate_bs(seed, n_reads, chrom_len, read_len, bs_rate):
+    rng = random.Random(seed)
+    chrom = "".join(rng.choice("ACGT") for _ in range(chrom_len))
+    reads, truth = [], []
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    for _ in range(n_reads):
+        start = rng.randrange(0, chrom_len - read_len)
+        frag = list(chrom[start:start + read_len])
+        rc = rng.random() < 0.5
+        if rc:  # directional protocol: the sequenced strand is RC(g), and
+            frag = [comp[c] for c in reversed(frag)]
+        # bisulfite converts Cs ON THE SEQUENCED STRAND
+        seq = [("T" if (c == "C" and rng.random() < bs_rate) else c)
+               for c in frag]
+        reads.append("".join(seq))
+        truth.append((start, rc))
+    return chrom, reads, truth
+
+
+def _map(chrom, reads, opts):
+    genome = Genome(["chr3N"], [chrom])
+    mapper = CoarseMapper(genome, opts)
+    maxlen = opts.max_read_length
+    bases = np.zeros((len(reads), maxlen), dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int32)
+    for i, r in enumerate(reads):
+        e = oracle.encode_bases(r)
+        bases[i, :len(e)] = e
+        lens[i] = len(e)
+    return mapper.map_reads(bases, lens, emulate_read_key_drop=False)
+
+
+def test_fully_converted_reads_map_in_3n_mode():
+    chrom, reads, truth = _simulate_bs(3, 60, 4000, 80, bs_rate=1.0)
+    base = dict(kmer_length=16, num_hash_functions=16, window_size=128,
+                min_table_hits=4, batchsize=64, max_hamming_percent=0.05,
+                probe_cap=64, candidates_per_read_cap=32, max_read_length=96)
+
+    # parity mode: full conversion destroys raw k-mer identity
+    res_par = _map(chrom, reads, ProgramOptions(**base))
+    mapped_par = int((res_par.orientation != 3).sum())
+
+    # 3N mode: collapse makes converted reads exact again
+    res_3n = _map(chrom, reads, ProgramOptions(three_n_seeding=True, **base))
+    mapped_3n = int((res_3n.orientation != 3).sum())
+
+    assert mapped_par <= len(reads) * 0.2, mapped_par
+    assert mapped_3n >= len(reads) * 0.9, mapped_3n
+
+    # positions must reconstruct the true start, orientation must match
+    for i, (start, rc) in enumerate(truth):
+        if res_3n.orientation[i] == 3:
+            continue
+        assert res_3n.position[i] + res_3n.shift[i] == start, i
+        want_ori = 2 if rc else 1
+        assert res_3n.orientation[i] == want_ori, i
+        # full conversion + matching collapse space => 0 mismatches
+        assert res_3n.hamming[i] == 0, i
+
+
+def test_partial_conversion_and_both_strands():
+    chrom, reads, truth = _simulate_bs(11, 50, 3000, 70, bs_rate=0.5)
+    opts = ProgramOptions(
+        three_n_seeding=True, kmer_length=16, num_hash_functions=16,
+        window_size=128, min_table_hits=4, batchsize=64,
+        max_hamming_percent=0.05, probe_cap=64, candidates_per_read_cap=32,
+        max_read_length=80)
+    res = _map(chrom, reads, opts)
+    mapped = int((res.orientation != 3).sum())
+    assert mapped >= len(truth) * 0.75, mapped
+    ok = sum(1 for i, (s, rc) in enumerate(truth)
+             if res.orientation[i] != 3
+             and res.position[i] + res.shift[i] == s)
+    assert ok == mapped
