@@ -1,0 +1,149 @@
+"""ctypes bindings for the native C++ runtime (native/libhrm_native.so).
+
+The native layer carries the host-side hot paths (the reference implements
+these in C++/CUDA: SSW src/ssw.c, edlib src/edlib.cpp, kseqpp ingest):
+  * hrm_ssw_align    — SSW-equivalent aligner (STEP 2 production path)
+  * hrm_nw_distance / hrm_nw_align — NW edit distance + CIGAR (edlib mode)
+  * hrm_fastx_*      — FASTA/FASTQ(.gz) bulk reader with N-replacement
+
+If the shared library is missing we try one `make` in native/; on failure
+every caller falls back to the pure-Python implementations (which are the
+golden oracles anyway).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libhrm_native.so"))
+
+_lib = None
+_load_attempted = False
+
+
+class HrmAlignment(ctypes.Structure):
+    _fields_ = [
+        ("sw_score", ctypes.c_int32),
+        ("sw_score_next_best", ctypes.c_int32),
+        ("ref_begin", ctypes.c_int32),
+        ("ref_end", ctypes.c_int32),
+        ("query_begin", ctypes.c_int32),
+        ("query_end", ctypes.c_int32),
+        ("ref_end_next_best", ctypes.c_int32),
+        ("mismatches", ctypes.c_int32),
+        ("flag", ctypes.c_int32),
+        ("cigar_len", ctypes.c_int32),
+    ]
+
+
+def _try_build() -> None:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-j4"],
+                       capture_output=True, timeout=120, check=False)
+    except Exception:
+        pass
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_SO_PATH):
+        _try_build()
+    if not os.path.exists(_SO_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.hrm_ssw_align.restype = ctypes.c_int
+        lib.hrm_ssw_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(HrmAlignment),
+            ctypes.c_char_p, ctypes.c_int]
+        lib.hrm_nw_distance.restype = ctypes.c_int
+        lib.hrm_nw_distance.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.hrm_nw_align.restype = ctypes.c_int
+        lib.hrm_nw_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.hrm_fastx_open.restype = ctypes.c_void_p
+        lib.hrm_fastx_open.argtypes = [ctypes.c_char_p]
+        lib.hrm_fastx_close.argtypes = [ctypes.c_void_p]
+        lib.hrm_fastx_next_batch.restype = ctypes.c_int
+        lib.hrm_fastx_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def ssw_align_native(query: str, ref: str, mask_len: int,
+                     compute_cigar: bool = True):
+    """Native SSW-equivalent alignment; returns an align.sw.Alignment."""
+    from .align.sw import Alignment
+
+    lib = get_lib()
+    out = HrmAlignment()
+    buf = ctypes.create_string_buffer(4096)
+    rc = lib.hrm_ssw_align(
+        query.encode("latin1"), len(query), ref.encode("latin1"), len(ref),
+        mask_len, 1 if compute_cigar else 0, ctypes.byref(out), buf, 4096)
+    if rc != 0:
+        raise RuntimeError("hrm_ssw_align failed")
+    return Alignment(
+        sw_score=out.sw_score, sw_score_next_best=out.sw_score_next_best,
+        ref_begin=out.ref_begin, ref_end=out.ref_end,
+        query_begin=out.query_begin, query_end=out.query_end,
+        ref_end_next_best=out.ref_end_next_best, mismatches=out.mismatches,
+        cigar_string=buf.value.decode("latin1"), flag=out.flag)
+
+
+def nw_align_native(query: str, target: str):
+    lib = get_lib()
+    buf = ctypes.create_string_buffer(8192)
+    clen = ctypes.c_int(0)
+    dist = lib.hrm_nw_align(
+        query.encode("latin1"), len(query), target.encode("latin1"),
+        len(target), buf, 8192, ctypes.byref(clen))
+    if dist < 0:
+        raise RuntimeError("hrm_nw_align failed")
+    return dist, buf.value.decode("latin1")
+
+
+def read_fastx_native(path: str, pitch: int, batch: int = 65536):
+    """Yields (bases [n, pitch] int8, lengths [n], ambiguous [n]) batches."""
+    import numpy as np
+
+    lib = get_lib()
+    h = lib.hrm_fastx_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        while True:
+            bases = np.zeros((batch, pitch), dtype=np.int8)
+            lengths = np.zeros(batch, dtype=np.int32)
+            amb = np.zeros(batch, dtype=np.uint8)
+            n = lib.hrm_fastx_next_batch(
+                h, batch, pitch,
+                bases.ctypes.data_as(ctypes.c_char_p),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                amb.ctypes.data_as(ctypes.c_char_p))
+            if n < 0:
+                raise ValueError(f"malformed FASTA/FASTQ: {path}")
+            if n == 0:
+                break
+            yield bases[:n], lengths[:n], amb[:n].astype(bool)
+    finally:
+        lib.hrm_fastx_close(h)

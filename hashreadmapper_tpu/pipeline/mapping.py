@@ -199,14 +199,20 @@ def run_cssw(genome: Genome, genome_rc: Genome,
             aa.flag |= 0x4
         out.append(aa)
 
-    # parallelFor mapfk (mappinghandler.cu:560-595)
+    # parallelFor mapfk (mappinghandler.cu:560-595); native C++ fast path
+    # (bit-identical to the python oracle, tests/test_native.py)
+    from .. import native
+    if native.available():
+        align_fn = native.ssw_align_native
+    else:
+        align_fn = sw.ssw_align
     for aa in out:
         if aa.flag & 0x4:
             continue
-        al0 = sw.ssw_align(aa.three_n_query, aa.three_n_ref, aa.mask_len)
+        al0 = align_fn(aa.three_n_query, aa.three_n_ref, aa.mask_len)
         aa.alignments[0] = al0
         aa.flag = al0.flag
-        al1 = sw.ssw_align(aa.three_n_rc_query, aa.three_n_ref, aa.mask_len)
+        al1 = align_fn(aa.three_n_rc_query, aa.three_n_ref, aa.mask_len)
         aa.alignments[1] = al1
         aa.flag_rc = al1.flag
 

@@ -133,12 +133,17 @@ def run_edlib(genome: Genome, genome_rc: Genome,
             eh.flag |= 0x4
         out.append(eh)
 
+    from .. import native
+    if native.available():
+        nw_fn = native.nw_align_native
+    else:
+        nw_fn = nw_align
     for eh in out:
         if eh.flag & 0x4:
             continue
-        eh.score, eh.cigar = nw_align(eh.query_threen, eh.target_threen)
-        eh.score_rc, eh.cigar_rc = nw_align(eh.query_rc_threen,
-                                            eh.target_rc_threen)
+        eh.score, eh.cigar = nw_fn(eh.query_threen, eh.target_threen)
+        eh.score_rc, eh.cigar_rc = nw_fn(eh.query_rc_threen,
+                                         eh.target_rc_threen)
         eh.num_conversions = _count_conversions(
             eh.query_original, eh.target_original, eh.target_rc, eh.cigar)
         eh.num_conversions_rc = _count_conversions(

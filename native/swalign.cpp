@@ -1,0 +1,389 @@
+// Native striped-Smith-Waterman-equivalent aligner (C API via ctypes).
+//
+// Scalar re-implementation of the lane-exact algorithm in
+// hashreadmapper_tpu/align/sw.py (which is golden-verified against the
+// reference's vendored SSW, see tests/golden/ssw_golden.txt): byte pass
+// (16 uint8 lanes, bias arithmetic, saturation) with word fallback
+// (8 uint16 lanes) on saturation, striped maxColumn semantics, reverse pass
+// for begin positions, banded traceback with the reference's direction tie
+// rules, and the M -> =/X rewrite with soft clips.
+//
+// This is NOT a copy of the reference's ssw.c: it simulates the observable
+// lane semantics scalar-wise (the striped layout is emulated with index
+// arithmetic), the way the Python oracle does.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct PassResult {
+    int best = 0;
+    int end_ref = 0;
+    int end_read = 0;
+    std::vector<int> max_column;
+};
+
+// score matrix: 5x5, codes 0..4 (A C G T N)
+static int score_mat(int a, int b, int match_s, int mismatch_s) {
+    if (a < 4 && a == b) return match_s;
+    return -mismatch_s;
+}
+
+static int8_t translate_char(char c) {
+    switch (c) {
+        case 'A': case 'a': case 'U': case 'u': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': return 3;
+        default: return 4;
+    }
+}
+
+// Exact scalar simulation of the striped pass (byte_mode: 16 lanes with
+// bias/saturation; else 8 uint16 lanes).  Mirrors sw.py::_striped_pass.
+static PassResult striped_pass(const std::vector<int8_t>& read,
+                               const std::vector<int8_t>& ref,
+                               int ref_dir, int gap_open, int gap_extend,
+                               int terminate, bool byte_mode,
+                               int match_s, int mismatch_s,
+                               bool* overflowed) {
+    const int read_len = (int)read.size();
+    const int ref_len = (int)ref.size();
+    const int lanes = byte_mode ? 16 : 8;
+    const int seg_len = (read_len + lanes - 1) / lanes;
+    const int bias = byte_mode ? mismatch_s : 0;
+    const int sat = 255;
+
+    // profile[nt][j*lanes + k]
+    std::vector<int> prof(5 * seg_len * lanes, 0);
+    for (int nt = 0; nt < 5; nt++) {
+        for (int j = 0; j < seg_len; j++) {
+            for (int k = 0; k < lanes; k++) {
+                int pos = j + k * seg_len;
+                int v;
+                if (byte_mode) {
+                    v = pos >= read_len ? bias
+                        : score_mat(nt, read[pos], match_s, mismatch_s) + bias;
+                } else {
+                    v = pos < read_len
+                        ? score_mat(nt, read[pos], match_s, mismatch_s) : 0;
+                }
+                prof[(nt * seg_len + j) * lanes + k] = v;
+            }
+        }
+    }
+
+    const int W = seg_len * lanes;
+    std::vector<int> h_store(W, 0), h_load(W, 0), e_arr(W, 0), h_max(W, 0);
+    std::vector<int> vh(lanes), vf(lanes);
+    PassResult pr;
+    pr.max_column.assign(ref_len, 0);
+    pr.end_ref = byte_mode ? -1 : 0;
+    pr.end_read = read_len - 1;
+    if (overflowed) *overflowed = false;
+
+    int begin = 0, end = ref_len, step = 1;
+    if (ref_dir == 1) { begin = ref_len - 1; end = -1; step = -1; }
+
+    for (int i = begin; i != end; i += step) {
+        // vH = pvHStore[segLen-1] shifted left one lane
+        vh[0] = 0;
+        for (int k = 1; k < lanes; k++)
+            vh[k] = h_store[(seg_len - 1) * lanes + (k - 1)];
+        std::swap(h_store, h_load);
+        std::fill(vf.begin(), vf.end(), 0);
+        std::vector<int> vmax_col(lanes, 0);
+        const int* p = &prof[ref[i] * seg_len * lanes];
+
+        for (int j = 0; j < seg_len; j++) {
+            for (int k = 0; k < lanes; k++) {
+                int h = vh[k] + p[j * lanes + k];
+                if (byte_mode && h > sat) h = sat;
+                if (byte_mode) h = std::max(h - bias, 0);
+                int e = e_arr[j * lanes + k];
+                h = std::max(h, e);
+                h = std::max(h, vf[k]);
+                if (h > vmax_col[k]) vmax_col[k] = h;
+                h_store[j * lanes + k] = h;
+                int hg = std::max(h - gap_open, 0);
+                e = std::max(std::max(e - gap_extend, 0), hg);
+                e_arr[j * lanes + k] = e;
+                vf[k] = std::max(std::max(vf[k] - gap_extend, 0), hg);
+                vh[k] = h_load[j * lanes + k];
+            }
+        }
+        // lazy-F
+        bool done = false;
+        for (int kk = 0; kk < lanes && !done; kk++) {
+            for (int k = lanes - 1; k > 0; k--) vf[k] = vf[k - 1];
+            vf[0] = 0;
+            for (int j = 0; j < seg_len; j++) {
+                bool any = false;
+                for (int k = 0; k < lanes; k++) {
+                    int h = std::max(h_store[j * lanes + k], vf[k]);
+                    if (h > vmax_col[k]) vmax_col[k] = h;
+                    h_store[j * lanes + k] = h;
+                    int hg = std::max(h - gap_open, 0);
+                    vf[k] = std::max(vf[k] - gap_extend, 0);
+                    if (vf[k] > hg) any = true;
+                }
+                if (!any) { done = true; break; }
+            }
+        }
+        int colmax = 0;
+        for (int k = 0; k < lanes; k++) colmax = std::max(colmax, vmax_col[k]);
+        if (colmax > pr.best) {
+            pr.best = colmax;
+            if (byte_mode && pr.best + bias >= sat) {
+                if (overflowed) *overflowed = true;
+                pr.max_column[i] = colmax;
+                break;
+            }
+            pr.end_ref = i;
+            std::copy(h_store.begin(), h_store.end(), h_max.begin());
+        }
+        pr.max_column[i] = colmax;
+        if (colmax == terminate) break;
+    }
+
+    for (int idx = 0; idx < W; idx++) {
+        if (h_max[idx] == pr.best) {
+            int pos = idx / lanes + (idx % lanes) * seg_len;
+            if (pos < pr.end_read) pr.end_read = pos;
+        }
+    }
+    if (byte_mode && pr.best + bias >= sat) pr.best = sat;
+    return pr;
+}
+
+// Banded traceback (mirrors sw.py::_banded_cigar).
+static bool banded_cigar(const std::vector<int8_t>& read,
+                         const std::vector<int8_t>& ref,
+                         int score, int gap_open, int gap_extend,
+                         int match_s, int mismatch_s,
+                         std::vector<std::pair<int, char>>* entries) {
+    const int read_len = (int)read.size();
+    const int ref_len = (int)ref.size();
+    int band_width = std::abs(ref_len - read_len) + 1;
+    const int max_len = std::max(ref_len, read_len);
+
+    std::vector<int> h(read_len * ref_len), e(read_len * ref_len);
+    std::vector<int8_t> d_e(read_len * ref_len), d_f(read_len * ref_len),
+        d_h(read_len * ref_len);
+    int best = 0;
+    while (true) {
+        std::fill(h.begin(), h.end(), 0);
+        std::fill(e.begin(), e.end(), 0);
+        for (int i = 0; i < read_len; i++) {
+            int beg = std::max(0, i - band_width);
+            int endj = std::min(ref_len - 1, i + band_width);
+            int f = 0;
+            for (int j = beg; j <= endj; j++) {
+                bool in_up = i > 0 && std::abs(j - (i - 1)) <= band_width;
+                int h_up = in_up ? h[(i - 1) * ref_len + j] : 0;
+                int e_up = in_up ? e[(i - 1) * ref_len + j] : 0;
+                int t1, t2;
+                if (i == 0) { t1 = -gap_open; t2 = -gap_extend; }
+                else { t1 = h_up - gap_open; t2 = e_up - gap_extend; }
+                int e_cur = t1 > t2 ? t1 : t2;
+                d_e[i * ref_len + j] = t1 > t2 ? 3 : 2;
+                e[i * ref_len + j] = e_cur;
+
+                bool in_left = j > beg;
+                int h_left = in_left ? h[i * ref_len + (j - 1)] : 0;
+                t1 = h_left - gap_open;
+                t2 = f - gap_extend;
+                f = t1 > t2 ? t1 : t2;
+                d_f[i * ref_len + j] = t1 > t2 ? 5 : 4;
+
+                int e1 = e_cur > 0 ? e_cur : 0;
+                int f1 = f > 0 ? f : 0;
+                t1 = e1 > f1 ? e1 : f1;
+                bool in_diag = i > 0 && j > beg
+                    && std::abs((j - 1) - (i - 1)) <= band_width;
+                int h_diag = in_diag ? h[(i - 1) * ref_len + (j - 1)] : 0;
+                t2 = h_diag + score_mat(ref[j], read[i], match_s, mismatch_s);
+                int h_cur = t1 > t2 ? t1 : t2;
+                h[i * ref_len + j] = h_cur;
+                if (h_cur > best) best = h_cur;
+                if (t1 <= t2) d_h[i * ref_len + j] = 1;
+                else d_h[i * ref_len + j] =
+                    e1 > f1 ? d_e[i * ref_len + j] : d_f[i * ref_len + j];
+            }
+        }
+        band_width *= 2;
+        if (!(best < score && band_width <= max_len)) break;
+    }
+
+    // traceback
+    int i = read_len - 1, j = ref_len - 1;
+    std::string ops;
+    int layer = 2;
+    while (i >= 0 && j > 0) {
+        int8_t d;
+        if (layer == 0) d = d_e[i * ref_len + j];
+        else if (layer == 1) d = d_f[i * ref_len + j];
+        else d = d_h[i * ref_len + j];
+        char op;
+        switch (d) {
+            case 1: --i; --j; layer = 2; op = 'M'; break;
+            case 2: --i; layer = 0; op = 'I'; break;
+            case 3: --i; layer = 2; op = 'I'; break;
+            case 4: --j; layer = 1; op = 'D'; break;
+            case 5: --j; layer = 2; op = 'D'; break;
+            default: return false;
+        }
+        ops.push_back(op);
+    }
+
+    entries->clear();
+    if (ops.empty()) {
+        entries->push_back({1, 'M'});
+    } else {
+        int cnt = 1;
+        for (size_t t = 1; t < ops.size(); t++) {
+            if (ops[t] == ops[t - 1]) cnt++;
+            else { entries->push_back({cnt, ops[t - 1]}); cnt = 1; }
+        }
+        char last = ops.back();
+        if (last == 'M') entries->push_back({cnt + 1, 'M'});
+        else { entries->push_back({cnt, last}); entries->push_back({1, 'M'}); }
+    }
+    std::reverse(entries->begin(), entries->end());
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct HrmAlignment {
+    int32_t sw_score;
+    int32_t sw_score_next_best;
+    int32_t ref_begin;
+    int32_t ref_end;
+    int32_t query_begin;
+    int32_t query_end;
+    int32_t ref_end_next_best;
+    int32_t mismatches;
+    int32_t flag;
+    int32_t cigar_len;         // bytes written to cigar_buf
+};
+
+// Returns 0 on success.  cigar_buf receives the =/X/S cigar string.
+int hrm_ssw_align(const char* query, int query_len,
+                  const char* ref, int ref_len,
+                  int mask_len, int compute_cigar,
+                  HrmAlignment* out, char* cigar_buf, int cigar_buf_size) {
+    const int gap_open = 3, gap_extend = 1, match_s = 2, mismatch_s = 2;
+    std::memset(out, 0, sizeof(*out));
+    out->ref_begin = -1;
+    out->query_begin = -1;
+    if (query_len == 0 || ref_len == 0) return 0;
+
+    std::vector<int8_t> read(query_len), ref_t(ref_len);
+    for (int i = 0; i < query_len; i++) read[i] = translate_char(query[i]);
+    for (int i = 0; i < ref_len; i++) ref_t[i] = translate_char(ref[i]);
+
+    bool byte_mode = true;
+    bool ovf = false;
+    PassResult fw = striped_pass(read, ref_t, 0, gap_open, gap_extend,
+                                 255, true, match_s, mismatch_s, &ovf);
+    if (fw.best == 255) {
+        byte_mode = false;
+        fw = striped_pass(read, ref_t, 0, gap_open, gap_extend, -1, false,
+                          match_s, mismatch_s, nullptr);
+    }
+    out->sw_score = fw.best;
+    out->ref_end = fw.end_ref;
+    out->query_end = fw.end_read;
+
+    int score2 = 0, ref_end2 = 0;
+    int lo = std::max(0, fw.end_ref - mask_len);
+    int hi = std::min(ref_len, fw.end_ref + mask_len);
+    for (int i = 0; i < lo; i++)
+        if (fw.max_column[i] > score2) { score2 = fw.max_column[i]; ref_end2 = i; }
+    for (int i = (byte_mode ? hi + 1 : hi); i < ref_len; i++)
+        if (fw.max_column[i] > score2) { score2 = fw.max_column[i]; ref_end2 = i; }
+    if (mask_len >= 15) {
+        out->sw_score_next_best = score2;
+        out->ref_end_next_best = ref_end2;
+    } else {
+        out->sw_score_next_best = 0;
+        out->ref_end_next_best = -1;
+    }
+
+    if (fw.best == 0 || fw.end_ref < 0) return 0;
+
+    std::vector<int8_t> read_prefix(read.begin(), read.begin() + fw.end_read + 1);
+    std::reverse(read_prefix.begin(), read_prefix.end());
+    std::vector<int8_t> ref_prefix(ref_t.begin(), ref_t.begin() + fw.end_ref + 1);
+    PassResult rv = striped_pass(read_prefix, ref_prefix, 1, gap_open,
+                                 gap_extend, fw.best, byte_mode, match_s,
+                                 mismatch_s, nullptr);
+    out->ref_begin = rv.end_ref;
+    out->query_begin = fw.end_read - rv.end_read;
+    if (fw.best > rv.best) out->flag = 2;
+
+    if (!compute_cigar) return 0;
+
+    std::vector<int8_t> sub_read(read.begin() + out->query_begin,
+                                 read.begin() + fw.end_read + 1);
+    std::vector<int8_t> sub_ref(ref_t.begin() + out->ref_begin,
+                                ref_t.begin() + fw.end_ref + 1);
+    std::vector<std::pair<int, char>> entries;
+    if (!banded_cigar(sub_read, sub_ref, fw.best, gap_open, gap_extend,
+                      match_s, mismatch_s, &entries)) {
+        out->flag = 1;
+        return 0;
+    }
+
+    // M -> =/X rewrite with clips (mirrors sw.py::_rewrite_m_to_eq_x)
+    std::string cig;
+    int mismatches = 0;
+    if (out->query_begin > 0)
+        cig += std::to_string(out->query_begin) + "S";
+    int ri = out->ref_begin, qi = out->query_begin;
+    int run_len = 0;
+    char run_op = 0;
+    auto flush = [&]() {
+        if (run_len) cig += std::to_string(run_len) + run_op;
+        run_len = 0;
+        run_op = 0;
+    };
+    for (auto& ent : entries) {
+        if (ent.second == 'M') {
+            for (int t = 0; t < ent.first; t++) {
+                char cur = (ref_t[ri] == read[qi] ? '=' : 'X');
+                if (cur == 'X') mismatches++;
+                if (cur != run_op) { flush(); run_op = cur; }
+                run_len++;
+                ri++; qi++;
+            }
+        } else if (ent.second == 'I') {
+            mismatches += ent.first;
+            flush();
+            cig += std::to_string(ent.first) + "I";
+            qi += ent.first;
+        } else {  // D
+            mismatches += ent.first;
+            flush();
+            cig += std::to_string(ent.first) + "D";
+            ri += ent.first;
+        }
+    }
+    flush();
+    int end_clip = query_len - out->query_end - 1;
+    if (end_clip > 0) cig += std::to_string(end_clip) + "S";
+    out->mismatches = mismatches;
+    out->cigar_len = (int)cig.size();
+    if ((int)cig.size() + 1 > cigar_buf_size) return 1;
+    std::memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,78 @@
+"""Native C++ layer == Python oracles (SSW goldens, NW, fastx parsing)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from hashreadmapper_tpu import native
+from hashreadmapper_tpu.align import sw
+from hashreadmapper_tpu.align.edit import nw_align
+
+HERE = os.path.dirname(__file__)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built")
+
+
+def test_native_ssw_matches_goldens():
+    with open(os.path.join(HERE, "golden", "ssw_golden.txt")) as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            left, right = line.split("|")
+            q, r, m = left.split()
+            p = right.split()
+            al = native.ssw_align_native(q, r, int(m))
+            got = [str(al.sw_score), str(al.sw_score_next_best),
+                   str(al.ref_begin), str(al.ref_end), str(al.query_begin),
+                   str(al.query_end), str(al.ref_end_next_best),
+                   str(al.mismatches), str(al.flag), al.cigar_string or "-"]
+            assert got == p, (q, r, m)
+
+
+def test_native_nw_matches_python():
+    rng = random.Random(5)
+    for _ in range(100):
+        q = "".join(rng.choice("AGTN") for _ in range(rng.randint(1, 120)))
+        t = "".join(rng.choice("AGTN") for _ in range(rng.randint(1, 128)))
+        want_d, want_c = nw_align(q, t)
+        got_d, got_c = native.nw_align_native(q, t)
+        assert got_d == want_d, (q, t)
+        assert got_c == want_c, (q, t)
+
+
+def test_native_fastx(tmp_path):
+    fa = tmp_path / "x.fa"
+    fa.write_text(">r0\nACGTNN\nACGT\n>r1 desc\nTTnnTT\n")
+    fq = tmp_path / "y.fq"
+    fq.write_text("@a\nACGT\n+\nIIII\n@b\nNNNN\n+\nIIII\n")
+
+    batches = list(native.read_fastx_native(str(fa), pitch=16))
+    assert len(batches) == 1
+    bases, lengths, amb = batches[0]
+    assert lengths.tolist() == [10, 6]
+    # round-robin N replacement persists across reads: NN->A,C ; nn->G,T
+    assert bases[0, :10].tolist() == [0, 1, 2, 3, 0, 1, 0, 1, 2, 3]
+    assert bases[1, :6].tolist() == [3, 3, 2, 3, 3, 3]
+    assert amb.tolist() == [True, True]
+
+    batches = list(native.read_fastx_native(str(fq), pitch=8))
+    bases, lengths, amb = batches[0]
+    assert lengths.tolist() == [4, 4]
+    assert amb.tolist() == [False, True]
+
+
+def test_native_gzip_fastx(tmp_path):
+    import gzip
+    fq = tmp_path / "z.fq.gz"
+    with gzip.open(fq, "wt") as fh:
+        for i in range(100):
+            fh.write(f"@r{i}\nACGTACGT\n+\nIIIIIIII\n")
+    total = 0
+    for bases, lengths, amb in native.read_fastx_native(str(fq), pitch=8,
+                                                        batch=32):
+        total += len(lengths)
+        assert (lengths == 8).all()
+    assert total == 100
