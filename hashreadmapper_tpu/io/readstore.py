@@ -125,18 +125,53 @@ class ReadStorage:
 
     @classmethod
     def from_files(cls, paths: Iterable[str], max_read_length: int = 0,
-                   keep_names: bool = False) -> "ReadStorage":
-        """Ingest FASTA/FASTQ(.gz) files in order (reference MultiInputReader)."""
+                   keep_names: bool = False, paired: bool = False,
+                   use_native: bool = True) -> "ReadStorage":
+        """Ingest FASTA/FASTQ(.gz) files.
+
+        Single-end: files concatenated in order (reference MultiInputReader,
+        readlibraryio.hpp:63-116).  Paired-end with two files: records
+        interleaved mate1,mate2,mate1,... (PairedInputReader); one file is
+        assumed pre-interleaved (chunkedreadstorageconstruction.hpp:420-462).
+
+        The native zlib parser (native/fastx.cpp) is used when built and
+        keep_names is False; it applies the same round-robin N replacement.
+        """
+        paths = list(paths)
+        if paired:
+            assert 1 <= len(paths) <= 2, "paired mode takes 1 or 2 files"
+
+        if use_native and not keep_names and not (paired and len(paths) == 2):
+            from .. import native
+            if native.available():
+                return cls._from_files_native(paths, max_read_length)
+
+        def _iter_records():
+            if paired and len(paths) == 2:
+                it1 = fastx.iter_fastx(paths[0])
+                it2 = fastx.iter_fastx(paths[1])
+                while True:
+                    r1 = next(it1, None)
+                    r2 = next(it2, None)
+                    if r1 is None and r2 is None:
+                        return
+                    assert r1 is not None and r2 is not None, (
+                        "paired files have different record counts")
+                    yield r1
+                    yield r2
+            else:
+                for path in paths:
+                    yield from fastx.iter_fastx(path)
+
         seqs: List[bytes] = []
         names: List[str] = []
         maxlen = 0
-        for path in paths:
-            for rec in fastx.iter_fastx(path):
-                s = rec.sequence.encode("ascii")
-                seqs.append(s)
-                maxlen = max(maxlen, len(s))
-                if keep_names:
-                    names.append(rec.name)
+        for rec in _iter_records():
+            s = rec.sequence.encode("ascii")
+            seqs.append(s)
+            maxlen = max(maxlen, len(s))
+            if keep_names:
+                names.append(rec.name)
         if max_read_length:
             assert maxlen <= max_read_length, (
                 f"read of length {maxlen} exceeds max_read_length")
@@ -150,3 +185,27 @@ class ReadStorage:
         pitch = max(1, (maxlen + BASES_PER_WORD - 1) // BASES_PER_WORD)
         packed = pack_rows(bases, lengths, pitch)
         return cls(packed, lengths, ambiguous, names if keep_names else None)
+
+    @classmethod
+    def _from_files_native(cls, paths: List[str],
+                           max_read_length: int) -> "ReadStorage":
+        from .. import native
+
+        pitch_bases = max(max_read_length, 256)
+        parts = []
+        for path in paths:
+            for bases, lengths, amb in native.read_fastx_native(
+                    path, pitch=pitch_bases):
+                parts.append((bases, lengths, amb))
+        if not parts:
+            empty = np.zeros((0, 1), dtype=np.uint32)
+            return cls(empty, np.zeros(0, np.int32), np.zeros(0, bool))
+        bases = np.concatenate([p[0] for p in parts])
+        lengths = np.concatenate([p[1] for p in parts])
+        ambiguous = np.concatenate([p[2] for p in parts])
+        maxlen = int(lengths.max()) if len(lengths) else 1
+        if max_read_length:
+            assert maxlen <= max_read_length
+        pitch = max(1, (maxlen + BASES_PER_WORD - 1) // BASES_PER_WORD)
+        packed = pack_rows(bases[:, :maxlen].astype(np.uint8), lengths, pitch)
+        return cls(packed, lengths, ambiguous)

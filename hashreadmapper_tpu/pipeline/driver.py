@@ -33,7 +33,10 @@ def run_pipeline(opts: ProgramOptions,
                 if opts.load_binary_reads_from:
                     reads = ReadStorage.load(opts.load_binary_reads_from)
                 else:
-                    reads = ReadStorage.from_files(opts.inputfiles)
+                    from ..config import SequencePairType
+                    reads = ReadStorage.from_files(
+                        opts.inputfiles,
+                        paired=opts.pair_type == SequencePairType.PAIRED_END)
                 if opts.save_binary_reads_to:
                     reads.save(opts.save_binary_reads_to)
         print(f"gpureadstorage: occupied memory: {reads.packed.nbytes}")
@@ -46,7 +49,10 @@ def run_pipeline(opts: ProgramOptions,
         with timers.phase("build_minhasher"):
             if opts.max_read_length < reads.sequence_length_upper_bound():
                 opts.max_read_length = reads.sequence_length_upper_bound()
-            mapper = CoarseMapper(genome, opts)
+            mapper = CoarseMapper(
+                genome, opts, load_index_from=opts.load_hashtables_from)
+            if opts.save_hashtables_to:
+                mapper.save_index(opts.save_hashtables_to)
         print(f"window index: {mapper.index.memory_bytes()} bytes, "
               f"{mapper.table.num_windows} windows")
 

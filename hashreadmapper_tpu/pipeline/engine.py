@@ -81,15 +81,30 @@ def build_window_table(genome: Genome) -> WindowTable:
 
 class CoarseMapper:
     def __init__(self, genome: Genome, opts: ProgramOptions,
-                 sig_batch: int = 4096):
+                 sig_batch: int = 4096, load_index_from: str = ""):
         opts.validate()
         self.opts = opts
         self.genome = genome
         self.hash_ids = np.arange(opts.num_hash_functions, dtype=np.uint32)
         self._hash_ids_dev = jnp.asarray(self.hash_ids)
         self.table = build_window_table(genome)
-        self._build_window_index(sig_batch)
+        if load_index_from:
+            # index artifact (replaces --load-hashtables-from,
+            # reference: gpuminhasherconstruction.cu:311-319)
+            self.index = mi.CsrIndex.load(load_index_from)
+            assert self.index.kmer_length == opts.kmer_length, (
+                "loaded index was built with a different k")
+            win_pos, win_chrom, _ = self._window_geometry()
+            self.table.win_pos = jnp.asarray(win_pos)
+            self.table.win_chrom = jnp.asarray(win_chrom)
+            self.table.num_windows = len(win_pos)
+        else:
+            self._build_window_index(sig_batch)
         self.dropped: Optional[tuple] = None
+
+    def save_index(self, path: str) -> None:
+        """Window-index artifact (replaces --save-hashtables-to)."""
+        self.index.save(path)
 
     # ------------------------------------------------------------------
     # index construction (device signatures, host CSR build)
