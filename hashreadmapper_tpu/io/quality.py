@@ -1,0 +1,75 @@
+"""Quality-score storage with 1/2/8-bit compression.
+
+Capability counterpart of the reference's QualityCompressorWrapper
+(reference: include/qualityscorecompression.hpp, 565 LoC; selected by
+--qualityScoreBits {1,2,8}, options.hpp:37):
+  * 8 bits: raw phred+33 characters;
+  * 2 bits: four quality bins;
+  * 1 bit:  two bins (below/at-or-above Q30-style threshold).
+Decompression returns representative characters per bin.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+# bin upper bounds (phred scores) and representatives for 2-bit mode
+_BINS_2BIT = np.array([7, 19, 29, 127], dtype=np.int32)
+_REPR_2BIT = np.array([6, 15, 25, 37], dtype=np.int32)
+_THRESH_1BIT = 30
+_REPR_1BIT = np.array([15, 37], dtype=np.int32)
+
+
+class QualityStore:
+    def __init__(self, bits: int = 8):
+        assert bits in (1, 2, 8)
+        self.bits = bits
+        self._rows: List[np.ndarray] = []
+        self._lengths: List[int] = []
+
+    def append(self, quality: str) -> None:
+        phred = np.frombuffer(quality.encode("latin1"),
+                              dtype=np.uint8).astype(np.int32) - 33
+        self._lengths.append(len(phred))
+        if self.bits == 8:
+            self._rows.append(phred.astype(np.uint8))
+        elif self.bits == 2:
+            codes = np.searchsorted(_BINS_2BIT, phred)
+            self._rows.append(self._pack(codes, 2))
+        else:
+            codes = (phred >= _THRESH_1BIT).astype(np.int32)
+            self._rows.append(self._pack(codes, 1))
+
+    @staticmethod
+    def _pack(codes: np.ndarray, bits: int) -> np.ndarray:
+        per = 8 // bits
+        n = len(codes)
+        padded = np.zeros(((n + per - 1) // per) * per, dtype=np.uint8)
+        padded[:n] = codes
+        padded = padded.reshape(-1, per)
+        shifts = np.arange(per, dtype=np.uint8) * bits
+        return (padded << shifts).sum(axis=1).astype(np.uint8)
+
+    @staticmethod
+    def _unpack(row: np.ndarray, bits: int, length: int) -> np.ndarray:
+        per = 8 // bits
+        shifts = np.arange(per, dtype=np.uint8) * bits
+        mask = (1 << bits) - 1
+        expanded = (row[:, None] >> shifts[None, :]) & mask
+        return expanded.reshape(-1)[:length]
+
+    def get(self, index: int) -> str:
+        length = self._lengths[index]
+        row = self._rows[index]
+        if self.bits == 8:
+            phred = row.astype(np.int32)
+        elif self.bits == 2:
+            phred = _REPR_2BIT[self._unpack(row, 2, length)]
+        else:
+            phred = _REPR_1BIT[self._unpack(row, 1, length)]
+        return "".join(chr(int(p) + 33) for p in phred[:length])
+
+    def memory_bytes(self) -> int:
+        return sum(r.nbytes for r in self._rows)
