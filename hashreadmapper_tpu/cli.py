@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--showProgress", action="store_true")
     p.add_argument("-q", "--useQualityScores", action="store_true")
     p.add_argument("--replicateGpuData", action="store_true")
+    p.add_argument("--threeN", action="store_true",
+                   help="bisulfite-aware 3N seeding (dual CT/GA indexes)")
     # TPU capacity knobs
     p.add_argument("--probeCap", type=int, default=64)
     p.add_argument("--candidatesPerRead", type=int, default=32)
@@ -83,6 +85,7 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         show_progress=args.showProgress,
         use_quality_scores=args.useQualityScores,
         replicate_index=args.replicateGpuData,
+        three_n_seeding=args.threeN,
         probe_cap=args.probeCap,
         candidates_per_read_cap=args.candidatesPerRead,
         max_read_length=args.maxReadLength,
