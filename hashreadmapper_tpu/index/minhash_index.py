@@ -45,6 +45,15 @@ class CsrIndex:
     num_keys: jnp.ndarray
     kmer_length: int
     hash_ids: np.ndarray
+    # optional radix probe directory (build_probe_buckets)
+    bucket_start: Optional[jnp.ndarray] = None
+    probe_steps: int = 0
+
+    def build_buckets(self) -> None:
+        self.bucket_start = build_probe_buckets(self.keys, self.num_keys)
+        sizes = self.bucket_start[:, 1:] - self.bucket_start[:, :-1]
+        max_bucket = int(jnp.max(sizes))
+        self.probe_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
 
     @property
     def num_tables(self) -> int:
@@ -218,12 +227,57 @@ def _row_searchsorted(keys_row: jnp.ndarray, queries: jnp.ndarray
     return jnp.searchsorted(keys_row, queries, side="left")
 
 
-@partial(jax.jit, static_argnames=("probe_cap",))
+BUCKET_BITS = 16
+
+
+def build_probe_buckets(keys: jnp.ndarray, num_keys: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Per-table first-level radix directory over the top BUCKET_BITS bits.
+
+    bucket_start[f, b] = index of the first key in table f whose top bits
+    are >= b; bucket_start[f, 2^BITS] = num_keys[f].  Narrows the probe's
+    binary search from log2(U) to log2(max bucket size) gather steps.
+    Built on device (one vmapped searchsorted per table).
+    """
+    f, u = keys.shape
+    tops = jnp.arange((1 << BUCKET_BITS) + 1, dtype=jnp.uint32) << (
+        32 - BUCKET_BITS)
+    # search each boundary value in each table's key row
+    starts = jax.vmap(lambda kr: jnp.searchsorted(kr, tops[:-1], side="left")
+                      )(keys)
+    starts = jnp.minimum(starts.astype(jnp.int32), num_keys[:, None])
+    return jnp.concatenate([starts, num_keys[:, None]], axis=1)
+
+
+def _bucketed_lower_bound(keys: jnp.ndarray, bucket_start: jnp.ndarray,
+                          queries: jnp.ndarray, steps: int) -> jnp.ndarray:
+    """Branchless lower_bound per (table, query) with a radix head start.
+
+    keys: [F, U]; bucket_start: [F, 2^BITS + 1]; queries: [F, N].
+    """
+    b = (queries >> (32 - BUCKET_BITS)).astype(jnp.int32)
+    lo = jnp.take_along_axis(bucket_start, b, axis=1)
+    hi = jnp.take_along_axis(bucket_start, b + 1, axis=1)
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        kmid = jnp.take_along_axis(keys, jnp.minimum(mid, keys.shape[1] - 1),
+                                   axis=1)
+        go_right = active & (kmid < queries)
+        new_lo = jnp.where(go_right, mid + 1, lo)
+        new_hi = jnp.where(active & ~go_right, mid, hi)
+        lo, hi = new_lo, new_hi
+    return lo
+
+
+@partial(jax.jit, static_argnames=("probe_cap", "probe_steps"))
 def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  index_values: jnp.ndarray, index_num_keys: jnp.ndarray,
                  sigs: jnp.ndarray, sig_valid: jnp.ndarray,
                  probe_cap: int,
-                 dropped_keys: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                 dropped_keys: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 bucket_start: Optional[jnp.ndarray] = None,
+                 probe_steps: int = 0
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Capped CSR lookup of [N, F] query signatures.
 
@@ -236,7 +290,11 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
     """
     n, f = sigs.shape
     sigs_t = sigs.T  # [F, N]
-    idx = jax.vmap(_row_searchsorted)(index_keys, sigs_t)        # [F, N]
+    if bucket_start is not None:
+        idx = _bucketed_lower_bound(index_keys, bucket_start, sigs_t,
+                                    probe_steps)                 # [F, N]
+    else:
+        idx = jax.vmap(_row_searchsorted)(index_keys, sigs_t)    # [F, N]
     idx_c = jnp.minimum(idx, index_keys.shape[1] - 1)
     found_key = jnp.take_along_axis(index_keys, idx_c, axis=1)   # [F, N]
     found = (found_key == sigs_t) & (idx < index_num_keys[:, None])

@@ -202,16 +202,18 @@ def shd_pairs_bitplane(genome_concat: jnp.ndarray,
     r_hi_f, r_lo_f, mask = shd_pallas.pack_bitplanes(read_bases, read_len, wr)
     r_hi_r, r_lo_r, _ = shd_pallas.pack_bitplanes(rc_bases, read_len, wr)
 
-    ham = _run_bitplane_kernel(
+    best4 = _run_bitplane_kernel(
         p, a_hi, a_lo, a_hi, a_lo, r_hi_f, r_lo_f, r_hi_r, r_lo_r, mask,
-        s_max, wa_pad, wr)
-    return finalize_shd(ham, anchor_length, anchor_left,
-                        read_len, pair_valid, params)
+        s_max, wa_pad, wr, anchor_length - read_len)
+    return finalize_shd_from_best(best4, anchor_length, anchor_left,
+                                  read_len, pair_valid, params)
 
 
 def _run_bitplane_kernel(p, a_hi_fwd, a_lo_fwd, a_hi_rc, a_lo_rc,
                          r_hi_f, r_lo_f, r_hi_r, r_lo_r, mask,
-                         s_max, wa_pad, wr):
+                         s_max, wa_pad, wr, max_shift):
+    """Runs the running-argmin Pallas kernel; returns [P, 4] int32
+    (best_f, shift_f, best_r, shift_r)."""
     from . import shd_pallas
 
     pad = (-p) % shd_pallas.LANES
@@ -221,16 +223,47 @@ def _run_bitplane_kernel(p, a_hi_fwd, a_lo_fwd, a_hi_rc, a_lo_rc,
         a_hi_rc, a_lo_rc = padder(a_hi_rc), padder(a_lo_rc)
         r_hi_f, r_lo_f = padder(r_hi_f), padder(r_lo_f)
         r_hi_r, r_lo_r, mask = padder(r_hi_r), padder(r_lo_r), padder(mask)
+        max_shift = jnp.pad(max_shift, (0, pad), constant_values=-1)
 
     a_hi = jnp.stack([a_hi_fwd, a_hi_rc], axis=1)   # [P, 2, wa]
     a_lo = jnp.stack([a_lo_fwd, a_lo_rc], axis=1)
     r_hi = jnp.stack([r_hi_f, r_hi_r], axis=1)
     r_lo = jnp.stack([r_lo_f, r_lo_r], axis=1)
     interpret = jax.default_backend() != "tpu"
-    ham = shd_pallas.shd_hamming_matrix(
-        a_hi, a_lo, r_hi, r_lo, mask, s_max, wa_pad, wr,
+    best = shd_pallas.shd_best(
+        a_hi, a_lo, r_hi, r_lo, mask, max_shift, s_max, wa_pad, wr,
         interpret=interpret)[:p]
-    return ham.astype(jnp.int32)
+    return best
+
+
+def finalize_shd_from_best(best4: jnp.ndarray, anchor_length: jnp.ndarray,
+                           anchor_left: jnp.ndarray, read_len: jnp.ndarray,
+                           pair_valid: jnp.ndarray,
+                           params: ShdParams) -> ShdResult:
+    """Post-processing from per-orientation running-argmin kernel output.
+
+    Equivalent to finalize_shd over the full matrix: forward wins orientation
+    ties (strict < selects RC), the kernel already kept the earliest shift.
+    """
+    best_f, shift_f, best_r, shift_r = (best4[:, 0], best4[:, 1],
+                                        best4[:, 2], best4[:, 3])
+    use_rc = best_r < best_f
+    best = jnp.where(use_rc, best_r, best_f)
+    best_shift = jnp.where(use_rc, shift_r, shift_f)
+
+    too_long = read_len > anchor_length
+    threshold = (read_len.astype(jnp.float32)
+                 * jnp.float32(params.max_hamming_percent)).astype(jnp.int32)
+    good = (best <= threshold) & ~too_long & pair_valid
+    orientation = jnp.where(
+        good, jnp.where(use_rc, REVERSE_COMPLEMENT, FORWARD),
+        NONE).astype(jnp.int8)
+    score = jnp.where(too_long, read_len, best)
+    shift_out = jnp.where(too_long, 0, best_shift) - jnp.where(
+        too_long, 0, anchor_left)
+    return ShdResult(hamming=score.astype(jnp.int32),
+                     shift=shift_out.astype(jnp.int32),
+                     orientation=orientation)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -278,8 +311,8 @@ def shd_pairs_bitplane_3n(genome_concat: jnp.ndarray,
     r_hi_f, r_lo_f, mask = shd_pallas.pack_bitplanes(read_ct, read_len, wr)
     r_hi_r, r_lo_r, _ = shd_pallas.pack_bitplanes(rc_ga, read_len, wr)
 
-    ham = _run_bitplane_kernel(
+    best4 = _run_bitplane_kernel(
         p, act_hi, act_lo, aga_hi, aga_lo, r_hi_f, r_lo_f, r_hi_r, r_lo_r,
-        mask, s_max, wa_pad, wr)
-    return finalize_shd(ham, anchor_length, anchor_left, read_len,
-                        pair_valid, params)
+        mask, s_max, wa_pad, wr, anchor_length - read_len)
+    return finalize_shd_from_best(best4, anchor_length, anchor_left,
+                                  read_len, pair_valid, params)

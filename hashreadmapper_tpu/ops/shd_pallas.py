@@ -89,6 +89,106 @@ def _shd_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref, out_ref,
     jax.lax.fori_loop(0, n_shifts, per_shift, 0)
 
 
+_BIG32 = 0x3FFFFFFF
+
+
+def _shd_best_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref,
+                     max_shift_ref, out_ref, *, n_shifts: int, wr: int,
+                     wa: int):
+    """Running-argmin variant: no per-shift stores, static sub-word shifts.
+
+    Outer fori over anchor word offsets (dynamic ref slices hoisted), inner
+    python-unrolled bits 0..31 with constant shift amounts.  Tracks
+    (best score, best shift) per orientation with strict-< updates, so ties
+    keep the earliest shift — the reference kernel's rule.  Output block
+    [4, 128]: rows = (best_f, shift_f, best_r, shift_r).
+    """
+    r_hi = r_hi_ref[...].astype(jnp.uint32)
+    r_lo = r_lo_ref[...].astype(jnp.uint32)
+    mask = mask_ref[...].astype(jnp.uint32)
+    max_shift = max_shift_ref[...]                         # [1, 128] int32
+    n_words = (n_shifts + 31) // 32
+
+    def per_word(word, carry):
+        best_f, shift_f, best_r, shift_r = carry
+        for o in range(2):
+            a_h = a_hi_ref[pl.ds(o * wa + word, wr + 1), :].astype(jnp.uint32)
+            a_l = a_lo_ref[pl.ds(o * wa + word, wr + 1), :].astype(jnp.uint32)
+            rh = r_hi[o * wr:(o + 1) * wr]
+            rl = r_lo[o * wr:(o + 1) * wr]
+            for bit in range(32):
+                if bit == 0:
+                    sa_hi = a_h[0:wr]
+                    sa_lo = a_l[0:wr]
+                else:
+                    sa_hi = (a_h[0:wr] >> bit) | (a_h[1:wr + 1] << (32 - bit))
+                    sa_lo = (a_l[0:wr] >> bit) | (a_l[1:wr + 1] << (32 - bit))
+                mm = ((sa_hi ^ rh) | (sa_lo ^ rl)) & mask
+                ham = jnp.sum(jax.lax.population_count(mm).astype(jnp.int32),
+                              axis=0, keepdims=True)       # [1, 128]
+                s = word * 32 + bit
+                ham = jnp.where(s <= max_shift, ham, _BIG32)
+                if o == 0:
+                    upd = ham < best_f
+                    best_f = jnp.where(upd, ham, best_f)
+                    shift_f = jnp.where(upd, s, shift_f)
+                else:
+                    upd = ham < best_r
+                    best_r = jnp.where(upd, ham, best_r)
+                    shift_r = jnp.where(upd, s, shift_r)
+        return best_f, shift_f, best_r, shift_r
+
+    init = (jnp.full((1, LANES), _BIG32, dtype=jnp.int32),
+            jnp.zeros((1, LANES), dtype=jnp.int32),
+            jnp.full((1, LANES), _BIG32, dtype=jnp.int32),
+            jnp.zeros((1, LANES), dtype=jnp.int32))
+    best_f, shift_f, best_r, shift_r = jax.lax.fori_loop(
+        0, n_words, per_word, init)
+    out_ref[0, :] = best_f[0]
+    out_ref[1, :] = shift_f[0]
+    out_ref[2, :] = best_r[0]
+    out_ref[3, :] = shift_r[0]
+
+
+@partial(jax.jit, static_argnames=("n_shifts", "wa", "wr", "interpret"))
+def shd_best(anchor_hi, anchor_lo, read_hi_both, read_lo_both, read_mask,
+             max_shift, n_shifts: int, wa: int, wr: int,
+             interpret: bool = False):
+    """Best (score, shift) per orientation for P pairs (P multiple of 128).
+
+    max_shift: [P] int32 = anchor_length - read_length (shifts beyond are
+    masked inside the kernel).  Returns [P, 4] int32 rows
+    (best_f, shift_f, best_r, shift_r); unreachable best = 0x3FFFFFFF.
+    """
+    p = anchor_hi.shape[0]
+    assert p % LANES == 0
+    assert anchor_hi.shape[1:] == (2, wa)
+    tiles = p // LANES
+
+    def spec(width):
+        return pl.BlockSpec((width, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    a_hi = anchor_hi.reshape(p, 2 * wa).T
+    a_lo = anchor_lo.reshape(p, 2 * wa).T
+    r_hi = read_hi_both.reshape(p, 2 * wr).T
+    r_lo = read_lo_both.reshape(p, 2 * wr).T
+    m = read_mask.T
+    ms = max_shift.reshape(p, 1).T
+
+    out = pl.pallas_call(
+        partial(_shd_best_kernel, n_shifts=n_shifts, wr=wr, wa=wa),
+        grid=(tiles,),
+        in_specs=[spec(2 * wa), spec(2 * wa), spec(2 * wr), spec(2 * wr),
+                  spec(wr), spec(1)],
+        out_specs=pl.BlockSpec((4, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, p), jnp.int32),
+        interpret=interpret,
+    )(a_hi, a_lo, r_hi, r_lo, m, ms)
+    return out.T
+
+
 @partial(jax.jit, static_argnames=("n_shifts", "wa", "wr", "interpret"))
 def shd_hamming_matrix(anchor_hi, anchor_lo, read_hi_both, read_lo_both,
                        read_mask, n_shifts: int, wa: int, wr: int,

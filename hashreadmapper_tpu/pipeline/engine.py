@@ -94,6 +94,7 @@ class CoarseMapper:
             self.index = mi.CsrIndex.load(load_index_from)
             assert self.index.kmer_length == opts.kmer_length, (
                 "loaded index was built with a different k")
+            self.index.build_buckets()
             win_pos, win_chrom, _ = self._window_geometry()
             self.table.win_pos = jnp.asarray(win_pos)
             self.table.win_chrom = jnp.asarray(win_chrom)
@@ -174,6 +175,7 @@ class CoarseMapper:
         # entirely on device — signatures never leave HBM.
         self.index = mi.build_csr_index_device(
             sigs, valid, opts.kmer_length, self.hash_ids)
+        self.index.build_buckets()
 
     # ------------------------------------------------------------------
     # read-side key dropping (parity with reference read-index build)
@@ -220,7 +222,9 @@ class CoarseMapper:
         cand, counts = mi.probe_tables(
             self.index.keys, self.index.offsets, self.index.values,
             self.index.num_keys, sigs, sig_valid, opts.probe_cap,
-            dropped_keys=(dropped_keys, dropped_num))
+            dropped_keys=(dropped_keys, dropped_num),
+            bucket_start=self.index.bucket_start,
+            probe_steps=self.index.probe_steps)
         ids, hit_cnt, num_kept = mi.vote_candidates(
             cand, opts.min_table_hits, kcap)
 
