@@ -270,14 +270,15 @@ def _bucketed_lower_bound(keys: jnp.ndarray, bucket_start: jnp.ndarray,
     return lo
 
 
-@partial(jax.jit, static_argnames=("probe_cap", "probe_steps"))
+@partial(jax.jit, static_argnames=("probe_cap", "probe_steps", "max_values_per_key"))
 def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  index_values: jnp.ndarray, index_num_keys: jnp.ndarray,
                  sigs: jnp.ndarray, sig_valid: jnp.ndarray,
                  probe_cap: int,
                  dropped_keys: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                  bucket_start: Optional[jnp.ndarray] = None,
-                 probe_steps: int = 0
+                 probe_steps: int = 0,
+                 max_values_per_key: int = 0
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Capped CSR lookup of [N, F] query signatures.
 
@@ -309,6 +310,10 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
 
     off0 = jnp.take_along_axis(index_offsets, idx_c, axis=1)
     off1 = jnp.take_along_axis(index_offsets, idx_c + 1, axis=1)
+    if max_values_per_key > 0:
+        # GroupByKey drop-all semantics evaluated lazily at probe time
+        # (reference: groupbykey.hpp:60-67): over-full keys yield nothing
+        found = found & ((off1 - off0) <= max_values_per_key)
     counts = jnp.where(found, off1 - off0, 0)                    # [F, N]
 
     # gather up to probe_cap values per (f, n)

@@ -1,0 +1,196 @@
+"""Window-streaming orientation: read index resident, genome windows stream.
+
+This is the reference's OWN architecture (reference: src/gpu/main_gpu.cu
+WindowBatchProcessor, :431-856), provided as a second pipeline mode for
+workloads where the read set fits in HBM but the genome index would not —
+the reference's original use case (index 10M reads, stream GRCh38):
+
+  window batch -> encode -> minhash signatures -> probe READ index
+  -> min-table-hits vote (candidate read ids per window, ascending)
+  -> SHD of each candidate read vs the extended window
+  -> host merge of per-(window, read) results in genome order
+     (first-window-wins, strictly-smaller-hamming replaces;
+      main_gpu.cu:777-821).
+
+Results are identical to the inverted engine (pipeline/engine.py) and the
+oracle — equivalence-tested in tests/test_window_stream.py.  The read index
+uses lazy max-values-per-key drop masking at probe time, which is exactly
+GroupByKey's drop-all rule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ProgramOptions
+from ..index import minhash_index as mi
+from ..io.genome import Genome
+from ..ops import minhash, shd
+from .engine import CoarseResults, _BIG
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+class WindowStreamMapper:
+    """Reference-orientation mapper: build once per read set, then stream."""
+
+    def __init__(self, read_bases: np.ndarray, read_lengths: np.ndarray,
+                 opts: ProgramOptions):
+        opts.validate()
+        assert not opts.three_n_seeding, (
+            "window-streaming mode implements the parity configuration")
+        self.opts = opts
+        n, lr = read_bases.shape
+        if lr < opts.max_read_length:
+            read_bases = np.pad(
+                read_bases, ((0, 0), (0, opts.max_read_length - lr)))
+        self.num_reads = n
+        self.read_bases = jnp.asarray(read_bases.astype(np.int8))
+        self.read_lengths = jnp.asarray(read_lengths.astype(np.int32))
+        self.hash_ids = jnp.arange(opts.num_hash_functions, dtype=jnp.uint32)
+
+        # read index (the reference's STEP-1 index build)
+        chunk = 4096
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        rb = jnp.pad(self.read_bases, ((0, n_pad - n), (0, 0)))
+        rl = jnp.pad(self.read_lengths, (0, n_pad - n))
+        sigs, valid = minhash.minhash_signatures_chunked(
+            rb, rl, opts.kmer_length, self.hash_ids, chunk)
+        self.index = mi.build_csr_index_device(
+            sigs[:n], valid[:n], opts.kmer_length,
+            np.asarray(self.hash_ids))
+        self.index.build_buckets()
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _window_batch(self, genome_concat: jnp.ndarray, chrom_goff: jnp.ndarray,
+                      win_bases: jnp.ndarray, win_len: jnp.ndarray,
+                      win_pos: jnp.ndarray, chrom_len: jnp.ndarray,
+                      win_valid: jnp.ndarray):
+        """One batch of windows -> packed per-pair results [B*K, 4]:
+        (read_id|SENTINEL, hamming, shift, orientation)."""
+        opts = self.opts
+        b = win_bases.shape[0]
+        kcap = opts.candidates_per_read_cap
+
+        sigs, sig_valid = minhash.minhash_signatures(
+            win_bases, win_len, opts.kmer_length, self.hash_ids)
+        sig_valid = sig_valid & win_valid
+        cand, counts = mi.probe_tables(
+            self.index.keys, self.index.offsets, self.index.values,
+            self.index.num_keys, sigs, sig_valid, opts.probe_cap,
+            bucket_start=self.index.bucket_start,
+            probe_steps=self.index.probe_steps,
+            max_values_per_key=opts.max_results_per_map)
+        ids, _cnt, num_kept = mi.vote_candidates(
+            cand, opts.min_table_hits, kcap)
+
+        rid = ids.reshape(-1)                          # [B*K] read ids
+        pair_valid = rid != jnp.uint32(0xFFFFFFFF)
+        rid_c = jnp.where(pair_valid, rid, 0).astype(jnp.int32)
+        r_bases = jnp.take(self.read_bases, rid_c, axis=0)
+        r_len = jnp.take(self.read_lengths, rid_c)
+
+        pos_rep = jnp.repeat(win_pos, kcap)
+        clen_rep = jnp.repeat(chrom_len, kcap)
+        loc = shd.extended_window_location(
+            pos_rep, clen_rep, r_len, opts.window_size)
+        params = shd.ShdParams(
+            window_size=opts.window_size,
+            max_ext_len=opts.window_size + opts.max_read_length,
+            max_read_len=self.read_bases.shape[1],
+            max_hamming_percent=opts.max_hamming_percent)
+        res = shd.shd_pairs_bitplane(
+            genome_concat, chrom_goff + loc.start,
+            loc.length, loc.left, r_bases, r_len, pair_valid, params)
+
+        out_rid = jnp.where(pair_valid & (res.orientation != shd.NONE),
+                            rid_c, -1)
+        packed = jnp.stack(
+            [out_rid, res.hamming, res.shift,
+             res.orientation.astype(jnp.int32)], axis=1)
+        overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
+                              jnp.sum(num_kept > kcap)])
+        return packed, overflow
+
+    def map_genome(self, genome: Genome) -> CoarseResults:
+        opts = self.opts
+        self._genome_concat = jnp.asarray(np.concatenate(
+            [genome.bases[c].astype(np.int8)
+             for c in range(genome.num_chromosomes)]))
+        chrom_offsets = np.zeros(genome.num_chromosomes, dtype=np.int64)
+        t = 0
+        for c in range(genome.num_chromosomes):
+            chrom_offsets[c] = t
+            t += genome.chromosome_length(c)
+        assert t < 2**31
+
+        bsz = opts.batchsize
+        kcap = opts.candidates_per_read_cap
+        packed_parts = []
+        batch_meta = []  # (chrom_id, positions array, n_windows)
+        overflow = np.zeros(2, dtype=np.int64)
+        for batch in genome.iter_window_batches(
+                opts.kmer_length, opts.window_size, bsz):
+            nb = len(batch.positions)
+            clen = genome.chromosome_length(batch.chromosome_id)
+            pos = batch.positions
+            lens = batch.lengths
+            valid = np.ones(nb, dtype=bool)
+            if nb < bsz:
+                pos = np.pad(pos, (0, bsz - nb))
+                lens = np.pad(lens, (0, bsz - nb))
+                valid = np.pad(valid, (0, bsz - nb))
+            # window bases from genome
+            goff = int(chrom_offsets[batch.chromosome_id])
+            idx = (goff + pos[:, None]
+                   + np.arange(opts.window_size)[None, :])
+            idx = np.minimum(idx, t - 1)
+            wb = np.asarray(self._genome_concat)[idx]
+            packed, ovf = self._window_batch(
+                self._genome_concat, jnp.int32(goff),
+                jnp.asarray(wb.astype(np.int8)), jnp.asarray(lens),
+                jnp.asarray(pos), jnp.full((bsz,), clen, dtype=jnp.int32),
+                jnp.asarray(valid))
+            packed_parts.append(packed)
+            batch_meta.append((batch.chromosome_id, batch.positions,
+                               batch.global_window_ids, nb))
+            overflow += np.asarray(ovf)
+
+        all_packed = np.asarray(jnp.concatenate(packed_parts))
+
+        out = CoarseResults(
+            orientation=np.full(self.num_reads, shd.NONE, dtype=np.int8),
+            hamming=np.zeros(self.num_reads, dtype=np.int32),
+            shift=np.zeros(self.num_reads, dtype=np.int32),
+            chromosome_id=np.zeros(self.num_reads, dtype=np.int32),
+            position=np.zeros(self.num_reads, dtype=np.int32),
+            global_window_id=np.full(self.num_reads, SENTINEL,
+                                     dtype=np.uint32),
+            stats={"probe_overflow": int(overflow[0]),
+                   "vote_overflow": int(overflow[1])})
+
+        # host merge in genome order (reference: main_gpu.cu:777-821)
+        row = 0
+        for bi, (chrom_id, positions, gwins, nb) in enumerate(batch_meta):
+            bsz_rows = self.opts.batchsize
+            block = all_packed[row:row + bsz_rows * kcap]
+            row += bsz_rows * kcap
+            for w in range(nb):
+                rows = block[w * kcap:(w + 1) * kcap]
+                for rid, ham, shift, ori in rows:
+                    if rid < 0:
+                        continue
+                    if out.orientation[rid] == shd.NONE \
+                            or out.hamming[rid] > ham:
+                        out.orientation[rid] = ori
+                        out.hamming[rid] = ham
+                        out.shift[rid] = shift
+                        out.chromosome_id[rid] = chrom_id
+                        out.position[rid] = positions[w]
+                        out.global_window_id[rid] = gwins[w]
+        return out
