@@ -174,23 +174,43 @@ class WindowStreamMapper:
             stats={"probe_overflow": int(overflow[0]),
                    "vote_overflow": int(overflow[1])})
 
-        # host merge in genome order (reference: main_gpu.cu:777-821)
-        row = 0
-        for bi, (chrom_id, positions, gwins, nb) in enumerate(batch_meta):
-            bsz_rows = self.opts.batchsize
-            block = all_packed[row:row + bsz_rows * kcap]
-            row += bsz_rows * kcap
-            for w in range(nb):
-                rows = block[w * kcap:(w + 1) * kcap]
-                for rid, ham, shift, ori in rows:
-                    if rid < 0:
-                        continue
-                    if out.orientation[rid] == shd.NONE \
-                            or out.hamming[rid] > ham:
-                        out.orientation[rid] = ori
-                        out.hamming[rid] = ham
-                        out.shift[rid] = shift
-                        out.chromosome_id[rid] = chrom_id
-                        out.position[rid] = positions[w]
-                        out.global_window_id[rid] = gwins[w]
+        # host merge in genome order (reference: main_gpu.cu:777-821).
+        # First-window-wins with strictly-smaller-hamming replacement is
+        # equivalent to the lexicographic minimum over (hamming, row order)
+        # because rows are emitted in genome/window/candidate order.
+        chrom_rep = []
+        pos_rep = []
+        gwin_rep = []
+        for chrom_id, positions, gwins, nb in batch_meta:
+            c = np.full((bsz, kcap), chrom_id, dtype=np.int32)
+            p = np.zeros((bsz, kcap), dtype=np.int32)
+            g = np.zeros((bsz, kcap), dtype=np.int64)
+            p[:nb] = positions[:, None]
+            g[:nb] = gwins[:, None]
+            chrom_rep.append(c.reshape(-1))
+            pos_rep.append(p.reshape(-1))
+            gwin_rep.append(g.reshape(-1))
+        chrom_rep = np.concatenate(chrom_rep)
+        pos_rep = np.concatenate(pos_rep)
+        gwin_rep = np.concatenate(gwin_rep)
+
+        rid = all_packed[:, 0]
+        valid = rid >= 0
+        rid_v = rid[valid]
+        ham_v = all_packed[valid, 1]
+        order_v = np.arange(len(all_packed), dtype=np.int64)[valid]
+        if len(rid_v):
+            sel = np.lexsort((order_v, ham_v, rid_v))
+            rid_s = rid_v[sel]
+            first = np.ones(len(rid_s), dtype=bool)
+            first[1:] = rid_s[1:] != rid_s[:-1]
+            win = sel[first]           # winning row per distinct read
+            rows = np.flatnonzero(valid)[win]
+            r = rid_v[win]
+            out.orientation[r] = all_packed[rows, 3]
+            out.hamming[r] = all_packed[rows, 1]
+            out.shift[r] = all_packed[rows, 2]
+            out.chromosome_id[r] = chrom_rep[rows]
+            out.position[r] = pos_rep[rows]
+            out.global_window_id[r] = gwin_rep[rows].astype(np.uint32)
         return out
