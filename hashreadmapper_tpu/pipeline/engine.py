@@ -195,9 +195,25 @@ class CoarseMapper:
     # ------------------------------------------------------------------
     # the jitted per-batch mapping step
     # ------------------------------------------------------------------
+    def _map_batch(self, read_bases, read_len, read_valid, dropped_keys,
+                   dropped_num):
+        """Public step wrapper: passes the large resident arrays as jit
+        arguments so they are never serialized into compile payloads."""
+        t = self.table
+        i = self.index
+        return self._map_batch_impl(
+            i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
+            t.genome_concat, t.win_pos, t.win_chrom, t.chrom_offset,
+            t.chrom_len, self._hash_ids_dev,
+            read_bases, read_len, read_valid, dropped_keys, dropped_num)
+
     @partial(jax.jit, static_argnames=("self",))
-    def _map_batch(self, read_bases: jnp.ndarray, read_len: jnp.ndarray,
-                   read_valid: jnp.ndarray, dropped_keys, dropped_num):
+    def _map_batch_impl(self, index_keys, index_offsets, index_values,
+                        index_num_keys, bucket_start, genome_concat,
+                        win_pos, win_chrom, chrom_offset, chrom_len,
+                        hash_ids,
+                        read_bases: jnp.ndarray, read_len: jnp.ndarray,
+                        read_valid: jnp.ndarray, dropped_keys, dropped_num):
         opts = self.opts
         b, lr = read_bases.shape
         kcap = opts.candidates_per_read_cap
@@ -208,22 +224,22 @@ class CoarseMapper:
             rc = encode.revcomp_bases(read_bases, read_len)
             rc_ga = jnp.where(rc == 2, jnp.int8(0), rc)
             sig_ct, sig_valid = minhash.minhash_signatures(
-                read_ct, read_len, opts.kmer_length, self._hash_ids_dev,
+                read_ct, read_len, opts.kmer_length, hash_ids,
                 canonical=False)
             sig_ga, _ = minhash.minhash_signatures(
-                rc_ga, read_len, opts.kmer_length, self._hash_ids_dev,
+                rc_ga, read_len, opts.kmer_length, hash_ids,
                 canonical=False)
             sigs = jnp.concatenate([sig_ct, sig_ga], axis=1)   # [B, 2F]
         else:
             sigs, sig_valid = minhash.minhash_signatures(
-                read_bases, read_len, opts.kmer_length, self._hash_ids_dev)
+                read_bases, read_len, opts.kmer_length, hash_ids)
         sig_valid = sig_valid & read_valid
 
         cand, counts = mi.probe_tables(
-            self.index.keys, self.index.offsets, self.index.values,
-            self.index.num_keys, sigs, sig_valid, opts.probe_cap,
+            index_keys, index_offsets, index_values,
+            index_num_keys, sigs, sig_valid, opts.probe_cap,
             dropped_keys=(dropped_keys, dropped_num),
-            bucket_start=self.index.bucket_start,
+            bucket_start=bucket_start,
             probe_steps=self.index.probe_steps)
         ids, hit_cnt, num_kept = mi.vote_candidates(
             cand, opts.min_table_hits, kcap)
@@ -232,10 +248,10 @@ class CoarseMapper:
         gwin = ids.reshape(-1)
         pair_valid = gwin != jnp.uint32(0xFFFFFFFF)
         gwin_c = jnp.where(pair_valid, gwin, 0).astype(jnp.int32)
-        pos = jnp.take(self.table.win_pos, gwin_c)
-        chrom = jnp.take(self.table.win_chrom, gwin_c)
-        clen = jnp.take(self.table.chrom_len, chrom)
-        coff = jnp.take(self.table.chrom_offset, chrom)
+        pos = jnp.take(win_pos, gwin_c)
+        chrom = jnp.take(win_chrom, gwin_c)
+        clen = jnp.take(chrom_len, chrom)
+        coff = jnp.take(chrom_offset, chrom)
 
         rl_rep = jnp.repeat(read_len, kcap)
         loc = shd.extended_window_location(pos, clen, rl_rep, opts.window_size)
@@ -247,7 +263,7 @@ class CoarseMapper:
         shd_fn = (shd.shd_pairs_bitplane_3n if opts.three_n_seeding
                   else shd.shd_pairs_bitplane)
         res = shd_fn(
-            self.table.genome_concat, coff + loc.start, loc.length, loc.left,
+            genome_concat, coff + loc.start, loc.length, loc.left,
             jnp.repeat(read_bases, kcap, axis=0), rl_rep, pair_valid, params)
 
         ham = res.hamming.reshape(b, kcap)
@@ -270,8 +286,8 @@ class CoarseMapper:
         out_ham = jnp.where(has, take(ham), 0)
         out_shift = jnp.where(has, take(shf), 0)
         best_gwin_i = take(gwin_c.reshape(b, kcap))
-        out_chrom = jnp.where(has, jnp.take(self.table.win_chrom, best_gwin_i), 0)
-        out_pos = jnp.where(has, jnp.take(self.table.win_pos, best_gwin_i), 0)
+        out_chrom = jnp.where(has, jnp.take(win_chrom, best_gwin_i), 0)
+        out_pos = jnp.where(has, jnp.take(win_pos, best_gwin_i), 0)
         out_gwin = jnp.where(has, best_gwin_i, -1)  # -1 == SENTINEL bits
 
         # single packed output: one device->host transfer shape per batch

@@ -66,11 +66,23 @@ class WindowStreamMapper:
             np.asarray(self.hash_ids))
         self.index.build_buckets()
 
+    def _window_batch(self, genome_concat, chrom_goff, win_bases, win_len,
+                      win_pos, chrom_len, win_valid):
+        i = self.index
+        return self._window_batch_impl(
+            i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
+            self.read_bases, self.read_lengths, self.hash_ids,
+            genome_concat, chrom_goff, win_bases, win_len, win_pos,
+            chrom_len, win_valid)
+
     @partial(jax.jit, static_argnames=("self",))
-    def _window_batch(self, genome_concat: jnp.ndarray, chrom_goff: jnp.ndarray,
-                      win_bases: jnp.ndarray, win_len: jnp.ndarray,
-                      win_pos: jnp.ndarray, chrom_len: jnp.ndarray,
-                      win_valid: jnp.ndarray):
+    def _window_batch_impl(self, index_keys, index_offsets, index_values,
+                           index_num_keys, bucket_start,
+                           read_bases_all, read_lengths_all, hash_ids,
+                           genome_concat: jnp.ndarray, chrom_goff: jnp.ndarray,
+                           win_bases: jnp.ndarray, win_len: jnp.ndarray,
+                           win_pos: jnp.ndarray, chrom_len: jnp.ndarray,
+                           win_valid: jnp.ndarray):
         """One batch of windows -> packed per-pair results [B*K, 4]:
         (read_id|SENTINEL, hamming, shift, orientation)."""
         opts = self.opts
@@ -78,12 +90,12 @@ class WindowStreamMapper:
         kcap = opts.candidates_per_read_cap
 
         sigs, sig_valid = minhash.minhash_signatures(
-            win_bases, win_len, opts.kmer_length, self.hash_ids)
+            win_bases, win_len, opts.kmer_length, hash_ids)
         sig_valid = sig_valid & win_valid
         cand, counts = mi.probe_tables(
-            self.index.keys, self.index.offsets, self.index.values,
-            self.index.num_keys, sigs, sig_valid, opts.probe_cap,
-            bucket_start=self.index.bucket_start,
+            index_keys, index_offsets, index_values,
+            index_num_keys, sigs, sig_valid, opts.probe_cap,
+            bucket_start=bucket_start,
             probe_steps=self.index.probe_steps,
             max_values_per_key=opts.max_results_per_map)
         ids, _cnt, num_kept = mi.vote_candidates(
@@ -92,8 +104,8 @@ class WindowStreamMapper:
         rid = ids.reshape(-1)                          # [B*K] read ids
         pair_valid = rid != jnp.uint32(0xFFFFFFFF)
         rid_c = jnp.where(pair_valid, rid, 0).astype(jnp.int32)
-        r_bases = jnp.take(self.read_bases, rid_c, axis=0)
-        r_len = jnp.take(self.read_lengths, rid_c)
+        r_bases = jnp.take(read_bases_all, rid_c, axis=0)
+        r_len = jnp.take(read_lengths_all, rid_c)
 
         pos_rep = jnp.repeat(win_pos, kcap)
         clen_rep = jnp.repeat(chrom_len, kcap)
@@ -102,7 +114,7 @@ class WindowStreamMapper:
         params = shd.ShdParams(
             window_size=opts.window_size,
             max_ext_len=opts.window_size + opts.max_read_length,
-            max_read_len=self.read_bases.shape[1],
+            max_read_len=read_bases_all.shape[1],
             max_hamming_percent=opts.max_hamming_percent)
         res = shd.shd_pairs_bitplane(
             genome_concat, chrom_goff + loc.start,
