@@ -65,7 +65,8 @@ class ShardedCoarseMapper:
         self.offsets = jax.device_put(idx.offsets, table_spec)
         self.values = jax.device_put(idx.values, table_spec)
         self.num_keys = jax.device_put(idx.num_keys, table_spec)
-        self.genome_concat = jax.device_put(self.base.table.genome_concat, repl)
+        self.genome_hi = jax.device_put(self.base.table.genome_hi, repl)
+        self.genome_lo = jax.device_put(self.base.table.genome_lo, repl)
         self.win_pos = jax.device_put(self.base.table.win_pos, repl)
         self.win_chrom = jax.device_put(self.base.table.win_chrom, repl)
         self.chrom_offset = jax.device_put(self.base.table.chrom_offset, repl)
@@ -93,8 +94,8 @@ class ShardedCoarseMapper:
         mesh = self.mesh
 
         def step(keys, offsets, values, num_keys, dropped_keys, dropped_num,
-                 genome_concat, win_pos, win_chrom, chrom_offset, chrom_len,
-                 hash_ids, read_bases, read_len, read_valid):
+                 genome_hi, genome_lo, win_pos, win_chrom, chrom_offset,
+                 chrom_len, hash_ids, read_bases, read_len, read_valid):
             """Runs per (data, table) shard via shard_map."""
             b, lr = read_bases.shape
             kcap = opts.candidates_per_read_cap
@@ -140,10 +141,11 @@ class ShardedCoarseMapper:
                 max_ext_len=opts.window_size + opts.max_read_length,
                 max_read_len=lr,
                 max_hamming_percent=opts.max_hamming_percent)
-            res = shd.shd_pairs_bitplane(
-                genome_concat, coff + loc.start, loc.length, loc.left,
+            res = shd.shd_pairs_packed(
+                genome_hi, genome_lo, jnp.int32(0), coff + loc.start,
+                loc.length, loc.left,
                 jnp.repeat(read_bases, kcap, axis=0), rl_rep, pair_valid,
-                params)
+                params, three_n=False)
 
             ham = res.hamming.reshape(b, kcap)
             shf = res.shift.reshape(b, kcap)
@@ -185,7 +187,7 @@ class ShardedCoarseMapper:
             mesh=mesh,
             in_specs=(table_spec, table_spec, table_spec, table_spec,
                       table_spec, table_spec,
-                      repl, repl, repl, repl, repl, repl,
+                      repl, repl, repl, repl, repl, repl, repl,
                       data_spec, data_spec, data_spec),
             out_specs=(data_spec,) * 6 + (repl,))
         try:
@@ -199,7 +201,7 @@ class ShardedCoarseMapper:
         return self._step(
             self.keys, self.offsets, self.values, self.num_keys,
             self.dropped_keys, self.dropped_num,
-            self.genome_concat, self.win_pos, self.win_chrom,
+            self.genome_hi, self.genome_lo, self.win_pos, self.win_chrom,
             self.chrom_offset, self.chrom_len, self.hash_ids,
             read_bases, read_len, read_valid)
 

@@ -66,20 +66,20 @@ class WindowStreamMapper:
             np.asarray(self.hash_ids))
         self.index.build_buckets()
 
-    def _window_batch(self, genome_concat, chrom_goff, win_bases, win_len,
-                      win_pos, chrom_len, win_valid):
+    def _window_batch(self, genome_hi, genome_lo, chrom_goff, win_bases,
+                      win_len, win_pos, chrom_len, win_valid):
         i = self.index
         return self._window_batch_impl(
             i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
             self.read_bases, self.read_lengths, self.hash_ids,
-            genome_concat, chrom_goff, win_bases, win_len, win_pos,
+            genome_hi, genome_lo, chrom_goff, win_bases, win_len, win_pos,
             chrom_len, win_valid)
 
     @partial(jax.jit, static_argnames=("self",))
     def _window_batch_impl(self, index_keys, index_offsets, index_values,
                            index_num_keys, bucket_start,
                            read_bases_all, read_lengths_all, hash_ids,
-                           genome_concat: jnp.ndarray, chrom_goff: jnp.ndarray,
+                           genome_hi, genome_lo, chrom_goff: jnp.ndarray,
                            win_bases: jnp.ndarray, win_len: jnp.ndarray,
                            win_pos: jnp.ndarray, chrom_len: jnp.ndarray,
                            win_valid: jnp.ndarray):
@@ -116,9 +116,10 @@ class WindowStreamMapper:
             max_ext_len=opts.window_size + opts.max_read_length,
             max_read_len=read_bases_all.shape[1],
             max_hamming_percent=opts.max_hamming_percent)
-        res = shd.shd_pairs_bitplane(
-            genome_concat, chrom_goff + loc.start,
-            loc.length, loc.left, r_bases, r_len, pair_valid, params)
+        res = shd.shd_pairs_packed(
+            genome_hi, genome_lo, jnp.int32(0), chrom_goff + loc.start,
+            loc.length, loc.left, r_bases, r_len, pair_valid, params,
+            three_n=False)
 
         out_rid = jnp.where(pair_valid & (res.orientation != shd.NONE),
                             rid_c, -1)
@@ -134,6 +135,9 @@ class WindowStreamMapper:
         self._genome_concat = jnp.asarray(np.concatenate(
             [genome.bases[c].astype(np.int8)
              for c in range(genome.num_chromosomes)]))
+        from ..ops import shd_pallas
+        self._genome_hi, self._genome_lo = shd_pallas.pack_genome_planes(
+            self._genome_concat)
         chrom_offsets = np.zeros(genome.num_chromosomes, dtype=np.int64)
         t = 0
         for c in range(genome.num_chromosomes):
@@ -164,7 +168,7 @@ class WindowStreamMapper:
             idx = np.minimum(idx, t - 1)
             wb = np.asarray(self._genome_concat)[idx]
             packed, ovf = self._window_batch(
-                self._genome_concat, jnp.int32(goff),
+                self._genome_hi, self._genome_lo, jnp.int32(goff),
                 jnp.asarray(wb.astype(np.int8)), jnp.asarray(lens),
                 jnp.asarray(pos), jnp.full((bsz,), clen, dtype=jnp.int32),
                 jnp.asarray(valid))
