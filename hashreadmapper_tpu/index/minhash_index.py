@@ -123,7 +123,7 @@ def build_csr_index(signatures: np.ndarray, valid: np.ndarray,
         nkeys.append(len(ukeys))
 
     u_max = max(1, max(len(kk) for kk in keys_l))
-    v_max = max(1, max(len(vv) for vv in vals_l)) + VALUES_TAIL_PAD
+    v_max = max(1, max(len(vv) for vv in vals_l))
     keys = np.full((f, u_max), SENTINEL, dtype=np.uint32)
     offsets = np.zeros((f, u_max + 1), dtype=np.int32)
     values = np.full((f, v_max), SENTINEL, dtype=np.uint32)
@@ -198,9 +198,6 @@ def _build_one_table_device(sigs_col: jnp.ndarray, valid: jnp.ndarray):
         iota, mode="drop")
     offsets = offsets.at[jnp.minimum(num_keys, n)].set(n_valid)
     values = jnp.where(is_real, vals_sorted, jnp.uint32(SENTINEL))
-    # sentinel tail: block gathers of up to VALUES_TAIL_PAD stay in bounds
-    values = jnp.pad(values, (0, VALUES_TAIL_PAD),
-                     constant_values=SENTINEL)
     return keys_u, offsets, values, num_keys
 
 
@@ -228,21 +225,6 @@ def build_csr_index_device(signatures, valid, kmer_length: int,
 def _row_searchsorted(keys_row: jnp.ndarray, queries: jnp.ndarray
                       ) -> jnp.ndarray:
     return jnp.searchsorted(keys_row, queries, side="left")
-
-
-VALUES_TAIL_PAD = 256  # sentinel tail so block gathers never clamp-misalign
-
-
-def gather_blocks_1d(operand: jnp.ndarray, starts: jnp.ndarray,
-                     width: int) -> jnp.ndarray:
-    """[V] operand, [N] starts -> [N, width] contiguous slices via one
-    lax.gather with slice_sizes=(width,) — the efficient block-gather form
-    (a per-element take would issue width x more scalar gathers)."""
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
-    return jax.lax.gather(
-        operand, starts[:, None].astype(jnp.int32), dnums,
-        slice_sizes=(width,), mode=jax.lax.GatherScatterMode.CLIP)
 
 
 BUCKET_BITS = 16
@@ -334,16 +316,13 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
         found = found & ((off1 - off0) <= max_values_per_key)
     counts = jnp.where(found, off1 - off0, 0)                    # [F, N]
 
-    # block-gather up to probe_cap consecutive values per (f, n)
-    if probe_cap > VALUES_TAIL_PAD:
-        # keep start+cap in bounds so CLIP never misaligns a slice
-        index_values = jnp.pad(index_values,
-                               ((0, 0), (0, probe_cap - VALUES_TAIL_PAD)),
-                               constant_values=SENTINEL)
+    # gather up to probe_cap values per (f, n)
     slot = jnp.arange(probe_cap, dtype=jnp.int32)                # [C]
+    gidx = off0[:, :, None] + slot[None, None, :]                # [F, N, C]
     in_range = slot[None, None, :] < jnp.minimum(counts, probe_cap)[:, :, None]
-    vals = jax.vmap(gather_blocks_1d, in_axes=(0, 0, None))(
-        index_values, jnp.where(found, off0, 0), probe_cap)      # [F, N, C]
+    gidx = jnp.clip(gidx, 0, index_values.shape[1] - 1)
+    vals = jax.vmap(jnp.take)(index_values, gidx.reshape(f, -1))
+    vals = vals.reshape(f, n, probe_cap)
     cand = jnp.where(in_range, vals, jnp.uint32(SENTINEL))
     return cand.transpose(1, 0, 2), counts.T
 

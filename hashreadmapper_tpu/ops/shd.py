@@ -348,12 +348,13 @@ def shd_pairs_packed(genome_hi: jnp.ndarray, genome_lo: jnp.ndarray,
     wr = (lr + 31) // 32
     wa_pad = (s_max - 1) // 32 + wr + 2
 
-    word0 = jnp.maximum(anchor_global_start, 0) >> 5
+    word0 = anchor_global_start >> 5
     bit0 = (anchor_global_start & 31).astype(jnp.int32)
-    assert wa_pad <= 64, "pack_genome_planes tail pad covers <=64 words"
-    from ..index.minhash_index import gather_blocks_1d
-    a_hi = gather_blocks_1d(genome_hi, word0, wa_pad)      # [P, wa_pad]
-    a_lo = gather_blocks_1d(genome_lo, word0, wa_pad)
+    nwords_genome = genome_hi.shape[0]
+    widx = jnp.clip(word0[:, None] + jnp.arange(wa_pad, dtype=jnp.int32)[None, :],
+                    0, nwords_genome - 1)
+    a_hi = jnp.take(genome_hi, widx)                       # [P, wa_pad]
+    a_lo = jnp.take(genome_lo, widx)
 
     if three_n:
         f_hi, f_lo = shd_pallas.collapse_planes_ct(a_hi, a_lo)

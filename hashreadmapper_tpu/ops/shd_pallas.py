@@ -102,7 +102,7 @@ def pack_genome_planes(concat: jnp.ndarray, chunk: int = 1 << 24):
     than int8).
     """
     g = concat.shape[0]
-    gw = (g + 31) // 32 + 64   # 64 tail words keep block gathers in bounds
+    gw = (g + 31) // 32
     width = gw * 32
     padded = jnp.pad(concat, (0, width - g)).astype(jnp.int32)
     his = []
