@@ -64,7 +64,14 @@ def run_pipeline(opts: ProgramOptions,
               f"stats={results.stats}")
 
     with timers.phase("process mapping"):
-        assert opts.mapper_type in (MapperType.SW, MapperType.EDLIB)
+        if opts.mapper_type == MapperType.STHELSE:
+            # reference: "please implement your personal mapper"
+            # (mappinghandler.cu:82-86, examplewrapper)
+            print("please implement your personal mapper")
+            timers.print_all()
+            return {"results": results, "mappingout": [], "sam_path": None,
+                    "vcf_path": None, "timers": timers.totals(),
+                    "reads": reads, "genome": genome}
         if opts.mapper_type == MapperType.SW:
             mappingout = mapping.run_cssw(
                 genome, genome_rc, results.orientation, results.position,

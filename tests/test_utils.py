@@ -59,3 +59,12 @@ def test_tracing_scope():
         return x + 1
 
     assert f(1) == 2
+
+
+def test_process_read_slice():
+    from hashreadmapper_tpu.parallel.multihost import process_read_slice
+    ranges = [process_read_slice(103, 4, p) for p in range(4)]
+    assert ranges[0] == (0, 26)
+    assert ranges[-1] == (78, 103)
+    total = sum(b - a for a, b in ranges)
+    assert total == 103
