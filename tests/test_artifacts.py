@@ -72,3 +72,31 @@ def test_native_vs_python_ingest(tmp_path):
     assert (a.lengths == b.lengths).all()
     assert (a.packed == b.packed).all()
     assert (a.ambiguous == b.ambiguous).all()
+
+
+def test_cli_end_to_end(tmp_path):
+    import subprocess, sys, os
+    rng = random.Random(8)
+    chrom = "".join(rng.choice("ACGT") for _ in range(1200))
+    (tmp_path / "g.fa").write_text(f">c1\n{chrom}\n")
+    reads = []
+    for i in range(10):
+        s = rng.randrange(1100)
+        reads.append(f"@q{i}\n{chrom[s:s+60]}\n+\n{'I'*60}")
+    (tmp_path / "r.fq").write_text("\n".join(reads) + "\n")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from hashreadmapper_tpu.cli import main; main()",
+         "--genomefile", str(tmp_path / "g.fa"),
+         "-i", str(tmp_path / "r.fq"),
+         "-o", str(tmp_path / "out"),
+         "--maxReadLength", "64", "--batchsize", "16"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    sam = (tmp_path / "out.SAM").read_text()
+    assert sam.startswith("@HD\tVN:1.4\n")
+    assert (tmp_path / "out.VCF").exists()
