@@ -319,6 +319,85 @@ def shd_pairs_bitplane_3n(genome_concat: jnp.ndarray,
                                   read_len, pair_valid, params)
 
 
+def pack_read_planes(read_bases: jnp.ndarray, read_len: jnp.ndarray,
+                     three_n: bool):
+    """Per-READ plane packing for the packed SHD: returns
+    (hi_o0, lo_o0, hi_o1, lo_o1, mask) each [N, wr].  Orientation 0 is the
+    read (CT-collapsed in 3N mode); orientation 1 is its reverse complement
+    (GA-collapsed in 3N mode).  Pack once per read, then gather rows per
+    pair — kcap x cheaper than packing per pair."""
+    from . import shd_pallas
+
+    n, lr = read_bases.shape
+    wr = (lr + 31) // 32
+    read_iota = jnp.arange(lr, dtype=jnp.int32)[None, :]
+    src = jnp.clip(read_len[:, None] - 1 - read_iota, 0, lr - 1)
+    rc_bases = (3 - jnp.take_along_axis(
+        read_bases.astype(jnp.int32), src, axis=1)).astype(jnp.int8)
+    if three_n:
+        o0 = jnp.where(read_bases == 1, jnp.int8(3), read_bases)
+        o1 = jnp.where(rc_bases == 2, jnp.int8(0), rc_bases)
+    else:
+        o0 = read_bases
+        o1 = rc_bases
+    hi0, lo0, mask = shd_pallas.pack_bitplanes(o0, read_len, wr)
+    hi1, lo1, _ = shd_pallas.pack_bitplanes(o1, read_len, wr)
+    return hi0, lo0, hi1, lo1, mask
+
+
+@partial(jax.jit, static_argnames=("params", "three_n"))
+def shd_pairs_packed_planes(genome_hi, genome_lo,
+                            anchor_global_start, anchor_length, anchor_left,
+                            r_hi_f, r_lo_f, r_hi_r, r_lo_r, mask,
+                            read_len, pair_valid, params: ShdParams,
+                            three_n: bool = False) -> ShdResult:
+    """Packed SHD over pairs whose read planes are already packed/gathered."""
+    from . import shd_pallas
+
+    p, wr = r_hi_f.shape
+    s_max = params.window_size + 32
+    wa_pad = (s_max - 1) // 32 + wr + 2
+
+    word0 = jnp.maximum(anchor_global_start, 0) >> 5
+    bit0 = (anchor_global_start & 31).astype(jnp.int32)
+    nwords_genome = genome_hi.shape[0]
+    widx = jnp.clip(
+        word0[:, None] + jnp.arange(wa_pad, dtype=jnp.int32)[None, :],
+        0, nwords_genome - 1)
+    a_hi = jnp.take(genome_hi, widx)                       # [P, wa_pad]
+    a_lo = jnp.take(genome_lo, widx)
+    if three_n:
+        f_hi, f_lo = shd_pallas.collapse_planes_ct(a_hi, a_lo)
+        r2_hi, r2_lo = shd_pallas.collapse_planes_ga(a_hi, a_lo)
+    else:
+        f_hi, f_lo = a_hi, a_lo
+        r2_hi, r2_lo = a_hi, a_lo
+
+    max_shift = bit0 + (anchor_length - read_len)
+    bounds = jnp.stack([bit0, max_shift], axis=1)
+
+    pad = (-p) % shd_pallas.LANES
+    if pad:
+        padder = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        f_hi, f_lo, r2_hi, r2_lo = map(padder, (f_hi, f_lo, r2_hi, r2_lo))
+        r_hi_f, r_lo_f = padder(r_hi_f), padder(r_lo_f)
+        r_hi_r, r_lo_r, mask = padder(r_hi_r), padder(r_lo_r), padder(mask)
+        bounds = jnp.pad(bounds, ((0, pad), (0, 0)), constant_values=-1)
+
+    a_hi2 = jnp.stack([f_hi, r2_hi], axis=1)
+    a_lo2 = jnp.stack([f_lo, r2_lo], axis=1)
+    r_hi = jnp.stack([r_hi_f, r_hi_r], axis=1)
+    r_lo = jnp.stack([r_lo_f, r_lo_r], axis=1)
+    interpret = jax.default_backend() != "tpu"
+    best4 = shd_pallas.shd_best(
+        a_hi2, a_lo2, r_hi, r_lo, mask, bounds, s_max, wa_pad, wr,
+        interpret=interpret)[:p]
+    best4 = best4.at[:, 1].add(-bit0)
+    best4 = best4.at[:, 3].add(-bit0)
+    return finalize_shd_from_best(best4, anchor_length, anchor_left,
+                                  read_len, pair_valid, params)
+
+
 @partial(jax.jit, static_argnames=("params", "three_n"))
 def shd_pairs_packed(genome_hi: jnp.ndarray, genome_lo: jnp.ndarray,
                      genome_len: jnp.ndarray,
@@ -344,7 +423,9 @@ def shd_pairs_packed(genome_hi: jnp.ndarray, genome_lo: jnp.ndarray,
 
     p, lr = read_bases.shape
     assert lr == params.max_read_len
-    s_max = params.max_ext_len + 32          # up to 31 bits of bit0 offset
+    # max valid shift = bit0 + (anchor_len - read_len) <= 31 + window_size
+    # (anchor_len <= window_size + 2*(read_len//2) <= window_size + read_len)
+    s_max = params.window_size + 32
     wr = (lr + 31) // 32
     wa_pad = (s_max - 1) // 32 + wr + 2
 

@@ -282,9 +282,14 @@ class CoarseMapper:
             max_ext_len=opts.window_size + opts.max_read_length,
             max_read_len=lr,
             max_hamming_percent=opts.max_hamming_percent)
-        res = shd.shd_pairs_packed(
-            genome_hi, genome_lo, jnp.int32(0), coff + loc.start, loc.length,
-            loc.left, jnp.repeat(read_bases, kcap, axis=0), rl_rep,
+        hi0, lo0, hi1, lo1, pmask = shd.pack_read_planes(
+            read_bases, read_len, opts.three_n_seeding)
+        ridx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), kcap)
+        res = shd.shd_pairs_packed_planes(
+            genome_hi, genome_lo, coff + loc.start, loc.length, loc.left,
+            jnp.take(hi0, ridx, axis=0), jnp.take(lo0, ridx, axis=0),
+            jnp.take(hi1, ridx, axis=0), jnp.take(lo1, ridx, axis=0),
+            jnp.take(pmask, ridx, axis=0), rl_rep,
             pair_valid, params, three_n=opts.three_n_seeding)
 
         ham = res.hamming.reshape(b, kcap)
