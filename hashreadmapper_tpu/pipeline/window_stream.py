@@ -65,20 +65,24 @@ class WindowStreamMapper:
             sigs[:n], valid[:n], opts.kmer_length,
             np.asarray(self.hash_ids))
         self.index.build_buckets()
+        # per-read plane packing, once (parity mode: no 3N collapse)
+        from ..ops import shd as shd_mod
+        self.read_planes = shd_mod.pack_read_planes(
+            self.read_bases, self.read_lengths, False)
 
     def _window_batch(self, genome_hi, genome_lo, chrom_goff, win_bases,
                       win_len, win_pos, chrom_len, win_valid):
         i = self.index
         return self._window_batch_impl(
             i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
-            self.read_bases, self.read_lengths, self.hash_ids,
+            self.read_planes, self.read_lengths, self.hash_ids,
             genome_hi, genome_lo, chrom_goff, win_bases, win_len, win_pos,
             chrom_len, win_valid)
 
     @partial(jax.jit, static_argnames=("self",))
     def _window_batch_impl(self, index_keys, index_offsets, index_values,
                            index_num_keys, bucket_start,
-                           read_bases_all, read_lengths_all, hash_ids,
+                           read_planes, read_lengths_all, hash_ids,
                            genome_hi, genome_lo, chrom_goff: jnp.ndarray,
                            win_bases: jnp.ndarray, win_len: jnp.ndarray,
                            win_pos: jnp.ndarray, chrom_len: jnp.ndarray,
@@ -104,7 +108,6 @@ class WindowStreamMapper:
         rid = ids.reshape(-1)                          # [B*K] read ids
         pair_valid = rid != jnp.uint32(0xFFFFFFFF)
         rid_c = jnp.where(pair_valid, rid, 0).astype(jnp.int32)
-        r_bases = jnp.take(read_bases_all, rid_c, axis=0)
         r_len = jnp.take(read_lengths_all, rid_c)
 
         pos_rep = jnp.repeat(win_pos, kcap)
@@ -114,11 +117,15 @@ class WindowStreamMapper:
         params = shd.ShdParams(
             window_size=opts.window_size,
             max_ext_len=opts.window_size + opts.max_read_length,
-            max_read_len=read_bases_all.shape[1],
+            max_read_len=self.opts.max_read_length,
             max_hamming_percent=opts.max_hamming_percent)
-        res = shd.shd_pairs_packed(
-            genome_hi, genome_lo, jnp.int32(0), chrom_goff + loc.start,
-            loc.length, loc.left, r_bases, r_len, pair_valid, params,
+        hi0, lo0, hi1, lo1, pmask = read_planes
+        res = shd.shd_pairs_packed_planes(
+            genome_hi, genome_lo, chrom_goff + loc.start,
+            loc.length, loc.left,
+            jnp.take(hi0, rid_c, axis=0), jnp.take(lo0, rid_c, axis=0),
+            jnp.take(hi1, rid_c, axis=0), jnp.take(lo1, rid_c, axis=0),
+            jnp.take(pmask, rid_c, axis=0), r_len, pair_valid, params,
             three_n=False)
 
         out_rid = jnp.where(pair_valid & (res.orientation != shd.NONE),
