@@ -331,6 +331,49 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
 # device vote (min-table-hits frequency filter)
 # ---------------------------------------------------------------------------
 
+def _bitonic_merge_two(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two ascending [..., W] uint32 arrays into [..., 2W] ascending.
+
+    a ++ reverse(b) is bitonic; log2(2W) compare-exchange stages finish the
+    merge — all vectorized min/max, no XLA sort."""
+    w = a.shape[-1]
+    y = jnp.concatenate([a, b[..., ::-1]], axis=-1)
+    s = w
+    total = 2 * w
+    while s >= 1:
+        shape = y.shape[:-1] + (total // (2 * s), 2, s)
+        z = y.reshape(shape)
+        lo = jnp.minimum(z[..., 0, :], z[..., 1, :])
+        hi = jnp.maximum(z[..., 0, :], z[..., 1, :])
+        y = jnp.stack([lo, hi], axis=-2).reshape(y.shape)
+        s //= 2
+    return y
+
+
+def _merge_sorted_lists(cand: jnp.ndarray) -> jnp.ndarray:
+    """[N, F, C] with each (n, f) list ascending -> [N, F*C] ascending.
+
+    Tree of bitonic merges; requires C a power of two (F halved per round,
+    odd counts keep a carry list)."""
+    n, f, c = cand.shape
+    lists = [cand[:, i, :] for i in range(f)]
+    while len(lists) > 1:
+        nxt = []
+        for i in range(0, len(lists) - 1, 2):
+            nxt.append(_bitonic_merge_two(lists[i], lists[i + 1]))
+        if len(lists) % 2:
+            nxt.append(lists[-1])
+        # merging unequal widths: pad the shorter with SENTINEL to match
+        widths = {x.shape[-1] for x in nxt}
+        if len(widths) > 1:
+            m = max(widths)
+            nxt = [x if x.shape[-1] == m else jnp.pad(
+                x, ((0, 0), (0, m - x.shape[-1])),
+                constant_values=SENTINEL) for x in nxt]
+        lists = nxt
+    return lists[0][:, :f * c] if lists[0].shape[-1] > f * c else lists[0]
+
+
 @partial(jax.jit, static_argnames=("min_table_hits", "out_cap"))
 def vote_candidates(cand: jnp.ndarray, min_table_hits: int, out_cap: int
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -349,7 +392,12 @@ def vote_candidates(cand: jnp.ndarray, min_table_hits: int, out_cap: int
     """
     n, f, c = cand.shape
     m = f * c
-    flat = jnp.sort(cand.reshape(n, m), axis=1)                  # SENTINEL last
+    if c & (c - 1) == 0 and c > 0:
+        # per-(n, f) lists are ascending (CSR values are id-sorted): a
+        # bitonic merge tree beats a full sort by ~an order of magnitude
+        flat = _merge_sorted_lists(cand)
+    else:
+        flat = jnp.sort(cand.reshape(n, m), axis=1)              # SENTINEL last
     prev = jnp.concatenate(
         [jnp.full((n, 1), SENTINEL, dtype=flat.dtype), flat[:, :-1]], axis=1)
     is_start = (flat != prev) | (jnp.arange(m)[None, :] == 0)
