@@ -341,6 +341,11 @@ class CoarseMapper:
                 read_bases, ((0, 0), (0, opts.max_read_length - lr)))
             lr = opts.max_read_length
 
+        if opts.three_n_seeding:
+            # the read-side key-drop emulation is a parity feature of the
+            # canonical-kmer configuration; the 3N index has 2F tables and
+            # no reference counterpart to emulate
+            emulate_read_key_drop = False
         if emulate_read_key_drop and self.dropped is None:
             if precomputed_sigs is None:
                 sig_list = []
