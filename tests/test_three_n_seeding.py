@@ -84,3 +84,25 @@ def test_partial_conversion_and_both_strands():
              if res.orientation[i] != 3
              and res.position[i] + res.shift[i] == s)
     assert ok == mapped
+
+
+def test_three_n_through_default_map_reads():
+    """Driver-path regression: map_reads defaults (drop emulation on) must
+    work in 3N mode (the drop mask is parity-only; the 3N index has 2F
+    tables)."""
+    chrom, reads, truth = _simulate_bs(7, 20, 2000, 60, bs_rate=0.6)
+    opts = ProgramOptions(
+        three_n_seeding=True, kmer_length=16, num_hash_functions=16,
+        window_size=128, min_table_hits=4, batchsize=32,
+        max_hamming_percent=0.05, probe_cap=32, candidates_per_read_cap=16,
+        max_read_length=64)
+    genome = Genome(["c"], [chrom])
+    mapper = CoarseMapper(genome, opts)
+    bases = np.zeros((len(reads), 64), dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int32)
+    for i, r in enumerate(reads):
+        e = oracle.encode_bases(r)
+        bases[i, :len(e)] = e
+        lens[i] = len(e)
+    res = mapper.map_reads(bases, lens)  # defaults: emulate_read_key_drop=True
+    assert int((res.orientation != 3).sum()) >= len(reads) * 0.8
