@@ -213,20 +213,33 @@ class CoarseMapper:
             t.chrom_len, self._hash_ids_dev,
             read_bases, read_len, read_valid, dropped_keys, dropped_num)
 
-    @partial(jax.jit, static_argnames=("self", "bsz"))
     def _map_batch_at(self, all_bases, all_lens, all_valid, start, bsz,
                       dropped_keys, dropped_num):
         """Step over a device-resident read pool: one dispatch per batch,
-        no per-batch host->device transfers."""
-        chunk = jax.lax.dynamic_slice_in_dim(all_bases, start, bsz, 0)
-        lens = jax.lax.dynamic_slice_in_dim(all_lens, start, bsz, 0)
-        valid = jax.lax.dynamic_slice_in_dim(all_valid, start, bsz, 0)
+        no per-batch host->device transfers.  All resident arrays go in as
+        jit ARGUMENTS (captured constants blow up the compile payload)."""
         t = self.table
         i = self.index
-        return self._map_batch_impl(
+        return self._map_batch_at_impl(
             i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
             t.genome_hi, t.genome_lo, t.win_pos, t.win_chrom, t.chrom_offset,
             t.chrom_len, self._hash_ids_dev,
+            all_bases, all_lens, all_valid, start, bsz,
+            dropped_keys, dropped_num)
+
+    @partial(jax.jit, static_argnames=("self", "bsz"))
+    def _map_batch_at_impl(self, index_keys, index_offsets, index_values,
+                           index_num_keys, bucket_start, genome_hi, genome_lo,
+                           win_pos, win_chrom, chrom_offset, chrom_len,
+                           hash_ids, all_bases, all_lens, all_valid, start,
+                           bsz, dropped_keys, dropped_num):
+        chunk = jax.lax.dynamic_slice_in_dim(all_bases, start, bsz, 0)
+        lens = jax.lax.dynamic_slice_in_dim(all_lens, start, bsz, 0)
+        valid = jax.lax.dynamic_slice_in_dim(all_valid, start, bsz, 0)
+        return self._map_batch_impl(
+            index_keys, index_offsets, index_values, index_num_keys,
+            bucket_start, genome_hi, genome_lo, win_pos, win_chrom,
+            chrom_offset, chrom_len, hash_ids,
             chunk, lens, valid, dropped_keys, dropped_num)
 
     @partial(jax.jit, static_argnames=("self",))
