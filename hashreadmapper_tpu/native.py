@@ -64,6 +64,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(HrmAlignment),
             ctypes.c_char_p, ctypes.c_int]
+        lib.hrm_ssw_align_batch.restype = ctypes.c_int
+        lib.hrm_ssw_align_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(HrmAlignment), ctypes.c_char_p,
+            ctypes.c_int]
         lib.hrm_nw_distance.restype = ctypes.c_int
         lib.hrm_nw_distance.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
@@ -147,3 +156,52 @@ def read_fastx_native(path: str, pitch: int, batch: int = 65536):
             yield bases[:n], lengths[:n], amb[:n].astype(bool)
     finally:
         lib.hrm_fastx_close(h)
+
+
+def ssw_align_batch(queries, refs, mask_lens, threads: int = 0,
+                    compute_cigar: bool = True):
+    """Threaded native batch alignment; returns a list of sw.Alignment."""
+    import os
+
+    import numpy as np
+
+    from .align.sw import Alignment
+
+    lib = get_lib()
+    n = len(queries)
+    if n == 0:
+        return []
+    if threads <= 0:
+        threads = min(32, os.cpu_count() or 1)
+    qpool = "".join(queries).encode("latin1")
+    rpool = "".join(refs).encode("latin1")
+    qlen = np.array([len(q) for q in queries], dtype=np.int32)
+    rlen = np.array([len(r) for r in refs], dtype=np.int32)
+    qoff = np.zeros(n, dtype=np.int32)
+    roff = np.zeros(n, dtype=np.int32)
+    np.cumsum(qlen[:-1], out=qoff[1:])
+    np.cumsum(rlen[:-1], out=roff[1:])
+    masks = np.asarray(mask_lens, dtype=np.int32)
+    out = (HrmAlignment * n)()
+    stride = 4096
+    cigars = ctypes.create_string_buffer(n * stride)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.hrm_ssw_align_batch(
+        qpool, qoff.ctypes.data_as(i32p), qlen.ctypes.data_as(i32p),
+        rpool, roff.ctypes.data_as(i32p), rlen.ctypes.data_as(i32p),
+        masks.ctypes.data_as(i32p), n, 1 if compute_cigar else 0, threads,
+        out, cigars, stride)
+    if rc != 0:
+        raise RuntimeError("hrm_ssw_align_batch failed (cigar overflow?)")
+    result = []
+    raw = cigars.raw  # one copy; slicing per pair below is cheap
+    for i in range(n):
+        a = out[i]
+        cig = raw[i * stride:i * stride + a.cigar_len].decode("latin1")
+        result.append(Alignment(
+            sw_score=a.sw_score, sw_score_next_best=a.sw_score_next_best,
+            ref_begin=a.ref_begin, ref_end=a.ref_end,
+            query_begin=a.query_begin, query_end=a.query_end,
+            ref_end_next_best=a.ref_end_next_best, mismatches=a.mismatches,
+            cigar_string=cig, flag=a.flag))
+    return result

@@ -199,22 +199,35 @@ def run_cssw(genome: Genome, genome_rc: Genome,
             aa.flag |= 0x4
         out.append(aa)
 
-    # parallelFor mapfk (mappinghandler.cu:560-595); native C++ fast path
-    # (bit-identical to the python oracle, tests/test_native.py)
+    # parallelFor mapfk (mappinghandler.cu:560-595); the native threaded
+    # batch path is bit-identical to the python oracle (tests/test_native.py)
     from .. import native
-    if native.available():
-        align_fn = native.ssw_align_native
+    mapped_aas = [aa for aa in out if not (aa.flag & 0x4)]
+    if native.available() and mapped_aas:
+        queries, refs, masks = [], [], []
+        for aa in mapped_aas:
+            queries.append(aa.three_n_query)
+            refs.append(aa.three_n_ref)
+            masks.append(aa.mask_len)
+            queries.append(aa.three_n_rc_query)
+            refs.append(aa.three_n_ref)
+            masks.append(aa.mask_len)
+        als = native.ssw_align_batch(queries, refs, masks,
+                                     threads=max(1, opts.threads))
+        for i, aa in enumerate(mapped_aas):
+            aa.alignments[0] = als[2 * i]
+            aa.flag = als[2 * i].flag
+            aa.alignments[1] = als[2 * i + 1]
+            aa.flag_rc = als[2 * i + 1].flag
     else:
-        align_fn = sw.ssw_align
-    for aa in out:
-        if aa.flag & 0x4:
-            continue
-        al0 = align_fn(aa.three_n_query, aa.three_n_ref, aa.mask_len)
-        aa.alignments[0] = al0
-        aa.flag = al0.flag
-        al1 = align_fn(aa.three_n_rc_query, aa.three_n_ref, aa.mask_len)
-        aa.alignments[1] = al1
-        aa.flag_rc = al1.flag
+        for aa in mapped_aas:
+            al0 = sw.ssw_align(aa.three_n_query, aa.three_n_ref, aa.mask_len)
+            aa.alignments[0] = al0
+            aa.flag = al0.flag
+            al1 = sw.ssw_align(aa.three_n_rc_query, aa.three_n_ref,
+                               aa.mask_len)
+            aa.alignments[1] = al1
+            aa.flag_rc = al1.flag
 
     # parallelFor comparefk (mappinghandler.cu:747-766)
     for aa in out:

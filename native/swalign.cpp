@@ -387,3 +387,47 @@ int hrm_ssw_align(const char* query, int query_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched API: align many (query, ref) pairs across threads.
+// Queries/refs are NUL-free byte strings given via offsets into flat pools.
+// Each pair produces an HrmAlignment and a cigar written into a per-pair
+// slice of cigar_pool (cigar_stride bytes each).
+// Returns 0 on success, 1 if any cigar overflowed its slice.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+extern "C" {
+
+int hrm_ssw_align_batch(const char* query_pool, const int32_t* query_off,
+                        const int32_t* query_len,
+                        const char* ref_pool, const int32_t* ref_off,
+                        const int32_t* ref_len,
+                        const int32_t* mask_len, int n_pairs,
+                        int compute_cigar, int n_threads,
+                        HrmAlignment* out, char* cigar_pool,
+                        int cigar_stride) {
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int> next{0};
+    std::atomic<int> err{0};
+    auto worker = [&]() {
+        while (true) {
+            int i = next.fetch_add(1);
+            if (i >= n_pairs) break;
+            int rc = hrm_ssw_align(
+                query_pool + query_off[i], query_len[i],
+                ref_pool + ref_off[i], ref_len[i],
+                mask_len[i], compute_cigar, &out[i],
+                cigar_pool + (size_t)i * cigar_stride, cigar_stride);
+            if (rc != 0) err.store(1);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+    return err.load();
+}
+
+}  // extern "C"
