@@ -214,7 +214,7 @@ class CoarseMapper:
             read_bases, read_len, read_valid, dropped_keys, dropped_num)
 
     def _map_batch_at(self, all_bases, all_lens, all_valid, start, bsz,
-                      dropped_keys, dropped_num):
+                      dropped_keys, dropped_num, collect_candidates=False):
         """Step over a device-resident read pool: one dispatch per batch,
         no per-batch host->device transfers.  All resident arrays go in as
         jit ARGUMENTS (captured constants blow up the compile payload)."""
@@ -225,14 +225,15 @@ class CoarseMapper:
             t.genome_hi, t.genome_lo, t.win_pos, t.win_chrom, t.chrom_offset,
             t.chrom_len, self._hash_ids_dev,
             all_bases, all_lens, all_valid, start, bsz,
-            dropped_keys, dropped_num)
+            dropped_keys, dropped_num, collect_candidates)
 
-    @partial(jax.jit, static_argnames=("self", "bsz"))
+    @partial(jax.jit, static_argnames=("self", "bsz", "collect_candidates"))
     def _map_batch_at_impl(self, index_keys, index_offsets, index_values,
                            index_num_keys, bucket_start, genome_hi, genome_lo,
                            win_pos, win_chrom, chrom_offset, chrom_len,
                            hash_ids, all_bases, all_lens, all_valid, start,
-                           bsz, dropped_keys, dropped_num):
+                           bsz, dropped_keys, dropped_num,
+                           collect_candidates=False):
         chunk = jax.lax.dynamic_slice_in_dim(all_bases, start, bsz, 0)
         lens = jax.lax.dynamic_slice_in_dim(all_lens, start, bsz, 0)
         valid = jax.lax.dynamic_slice_in_dim(all_valid, start, bsz, 0)
@@ -240,15 +241,17 @@ class CoarseMapper:
             index_keys, index_offsets, index_values, index_num_keys,
             bucket_start, genome_hi, genome_lo, win_pos, win_chrom,
             chrom_offset, chrom_len, hash_ids,
-            chunk, lens, valid, dropped_keys, dropped_num)
+            chunk, lens, valid, dropped_keys, dropped_num,
+            collect_candidates=collect_candidates)
 
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self", "collect_candidates"))
     def _map_batch_impl(self, index_keys, index_offsets, index_values,
                         index_num_keys, bucket_start, genome_hi, genome_lo,
                         win_pos, win_chrom, chrom_offset, chrom_len,
                         hash_ids,
                         read_bases: jnp.ndarray, read_len: jnp.ndarray,
-                        read_valid: jnp.ndarray, dropped_keys, dropped_num):
+                        read_valid: jnp.ndarray, dropped_keys, dropped_num,
+                        collect_candidates: bool = False):
         opts = self.opts
         b, lr = read_bases.shape
         kcap = opts.candidates_per_read_cap
@@ -335,12 +338,19 @@ class CoarseMapper:
             axis=1)
         overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
                               jnp.sum(num_kept > kcap)])
+        if collect_candidates:
+            # COUNT_WINDOW_HITS instrumentation (reference:
+            # windowhitstatisticcollector.hpp; main_gpu.cu:555-574, 824-852):
+            # candidate windows per read after hashing+vote, and the SHD
+            # orientation per candidate (None = rejected by SHD)
+            return packed, overflow, ids, ori
         return packed, overflow
 
     # ------------------------------------------------------------------
     def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray,
                   precomputed_sigs: Optional[np.ndarray] = None,
-                  emulate_read_key_drop: bool = True) -> CoarseResults:
+                  emulate_read_key_drop: bool = True,
+                  collect_candidates: bool = False) -> CoarseResults:
         """Map all reads (host driver: batches the jitted step).
 
         read_bases: [N, L] int8 padded; read_lengths: [N] int32.
@@ -398,10 +408,17 @@ class CoarseMapper:
 
         packed_batches = []
         overflow_batches = []
+        cand_batches = []
         for start in range(0, n_pad, bsz):
-            packed, overflow = self._map_batch_at(
+            outs = self._map_batch_at(
                 all_bases, all_lens, all_valid, jnp.int32(start), bsz,
-                self.dropped[0], self.dropped[1])
+                self.dropped[0], self.dropped[1],
+                collect_candidates=collect_candidates)
+            if collect_candidates:
+                packed, overflow, c_ids, c_ori = outs
+                cand_batches.append((c_ids, c_ori))
+            else:
+                packed, overflow = outs
             # keep results on device; fetch once at the end (the transport
             # pays a large setup cost per distinct transfer shape)
             packed_batches.append(packed)
@@ -410,6 +427,10 @@ class CoarseMapper:
         all_packed = np.asarray(jnp.concatenate(packed_batches, axis=0))[:n]
         all_overflow = np.asarray(
             jnp.stack(overflow_batches).sum(axis=0))
+        if collect_candidates:
+            self.last_candidates = (
+                np.asarray(jnp.concatenate([c for c, _ in cand_batches]))[:n],
+                np.asarray(jnp.concatenate([o for _, o in cand_batches]))[:n])
         return CoarseResults(
             orientation=all_packed[:, 0].astype(np.int8),
             hamming=all_packed[:, 1].astype(np.int32),

@@ -96,3 +96,47 @@ def test_variant_matching(tmp_path):
     assert rep.matched == 1
     assert rep.alt_mismatches == 1
     assert rep.missing == 1
+
+
+def test_engine_candidate_collection_feeds_window_stats():
+    """COUNT_WINDOW_HITS-equivalent instrumentation through the engine."""
+    chrom, reads, truth = _planted_dataset(seed=3, n_reads=30)
+    genome = Genome(["chrW"], [chrom])
+    opts = ProgramOptions(
+        kmer_length=16, num_hash_functions=16, window_size=128,
+        min_table_hits=4, batchsize=32, max_hamming_percent=0.05,
+        probe_cap=64, candidates_per_read_cap=32, max_read_length=64)
+    mapper = CoarseMapper(genome, opts)
+    bases = np.zeros((len(reads), 64), dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int32)
+    for i, r in enumerate(reads):
+        bases[i, :len(r)] = r
+        lens[i] = len(r)
+    res = mapper.map_reads(bases, lens, collect_candidates=True)
+    cand_ids, cand_ori = mapper.last_candidates
+    assert cand_ids.shape == (len(reads), opts.candidates_per_read_cap)
+
+    # truth windows (>=50% overlap) and the two collectors: after hashing
+    # (all candidates) and after SHD (orientation != None)
+    aligns = [(i, 0, s, len(reads[i])) for i, (s, rc) in enumerate(truth)]
+    tw = window_stats.truth_windows_from_alignments(genome, 128, 16, aligns)
+    win_chrom = np.asarray(mapper.table.win_chrom)
+    win_pos = np.asarray(mapper.table.win_pos)
+    stride = opts.window_stride
+    after_hash = window_stats.WindowHitStatisticCollector(tw)
+    after_shd = window_stats.WindowHitStatisticCollector(tw)
+    for rid in range(len(reads)):
+        for slot in range(cand_ids.shape[1]):
+            g = cand_ids[rid, slot]
+            if g == 0xFFFFFFFF:
+                continue
+            cid = int(win_chrom[g])
+            wid = int(win_pos[g]) // stride
+            after_hash.add_hits(cid, wid, [rid])
+            if cand_ori[rid, slot] != 3:
+                after_shd.add_hits(cid, wid, [rid])
+    rh = after_hash.report()
+    rs = after_shd.report()
+    assert rs["true_hits"] <= rh["true_hits"]
+    assert rs["precision"] >= rh["precision"]
+    assert rh["recall"] > 0.5
