@@ -357,6 +357,15 @@ class CoarseMapper:
         """
         opts = self.opts
         n, lr = read_bases.shape
+        if n == 0:
+            return CoarseResults(
+                orientation=np.full(0, shd.NONE, dtype=np.int8),
+                hamming=np.zeros(0, dtype=np.int32),
+                shift=np.zeros(0, dtype=np.int32),
+                chromosome_id=np.zeros(0, dtype=np.int32),
+                position=np.zeros(0, dtype=np.int32),
+                global_window_id=np.zeros(0, dtype=np.uint32),
+                stats={"probe_overflow": 0, "vote_overflow": 0})
         assert lr <= opts.max_read_length, (
             f"reads longer than max_read_length ({lr} > {opts.max_read_length})")
         if lr < opts.max_read_length:
