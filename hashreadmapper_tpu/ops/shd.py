@@ -14,10 +14,15 @@ include/gpu/windowgenerationkernels.cuh:17-48):
     or when the read is longer than the anchor (score = readLen, shift = 0).
 
 Instead of the reference's per-pair popcount loop with early exit, all shifts
-are evaluated exactly via a scan of masked one-hot correlations on the VPU —
-the result is the exact minimum, so early-exit semantics are preserved by
-construction.  The bit-plane Pallas kernel (planned) is a drop-in for the
-inner correlation.
+are evaluated exactly — the result is the exact minimum, so early-exit
+semantics are preserved by construction.  Implementations, slowest to
+fastest, all bit-identical:
+  * shd_pairs            — masked one-hot correlation scan (XLA reference)
+  * shd_pairs_bitplane   — Pallas bit-plane popcount kernel (ops/shd_pallas)
+  * shd_pairs_packed / shd_pairs_packed_planes — production path: word-
+    aligned gathers from the pre-packed genome planes, per-read plane
+    packing, sub-word offset folded into the kernel shift range; the
+    three_n flag switches the per-orientation CT/GA collapsed spaces.
 """
 
 from __future__ import annotations
