@@ -76,3 +76,25 @@ def test_native_gzip_fastx(tmp_path):
         total += len(lengths)
         assert (lengths == 8).all()
     assert total == 100
+
+
+def test_native_fastx_robustness(tmp_path):
+    # CRLF line endings, no trailing newline, long multi-line FASTA record
+    p1 = tmp_path / "crlf.fq"
+    p1.write_bytes(b"@a\r\nACGT\r\n+\r\nIIII\r\n@b\r\nTTTT\r\n+\r\nIIII")
+    batches = list(native.read_fastx_native(str(p1), pitch=8))
+    bases, lengths, amb = batches[0]
+    assert lengths.tolist() == [4, 4]
+    assert bases[1, :4].tolist() == [3, 3, 3, 3]
+
+    p2 = tmp_path / "multi.fa"
+    p2.write_text(">long\n" + "ACGT\n" * 50 + ">short\nGG")
+    batches = list(native.read_fastx_native(str(p2), pitch=256))
+    bases, lengths, amb = batches[0]
+    assert lengths.tolist() == [200, 2]
+
+    p3 = tmp_path / "bad.fq"
+    p3.write_text("@x\nACGT\nOOPS\nIIII\n")  # missing '+' line
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(native.read_fastx_native(str(p3), pitch=8))
