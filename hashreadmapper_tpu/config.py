@@ -94,6 +94,14 @@ class ProgramOptions:
     # Mesh axis sizes; None => single device.
     mesh_data: Optional[int] = None
     mesh_table: Optional[int] = None
+    # STEP 2 on device: run the striped-SW score passes as a batched device
+    # kernel (ops/swdev.py), host does CIGAR-only finish.  Bit-identical to
+    # the host path; falls back automatically when the native finish library
+    # is unavailable.
+    step2_device: bool = True
+    # Pairs per device dispatch in the STEP-2 score pass (fixed shape to
+    # avoid recompiles; last chunk is padded).
+    step2_pair_chunk: int = 8192
 
     @property
     def window_stride(self) -> int:

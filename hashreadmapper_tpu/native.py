@@ -73,6 +73,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(HrmAlignment), ctypes.c_char_p,
             ctypes.c_int]
+        lib.hrm_ssw_finish_batch.restype = ctypes.c_int
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.hrm_ssw_finish_batch.argtypes = [
+            ctypes.c_char_p, i32p, i32p,   # query pool/off/len
+            ctypes.c_char_p, i32p, i32p,   # ref pool/off/len
+            i32p, i32p, i32p, i32p, i32p, i32p,  # score1, rb, re, qb, qe, flag
+            ctypes.c_int, ctypes.c_int,    # n_pairs, threads
+            i32p, i32p,                    # mismatches_out, flag_out
+            ctypes.c_char_p, i32p, ctypes.c_int]  # cigars, lens, stride
         lib.hrm_nw_distance.restype = ctypes.c_int
         lib.hrm_nw_distance.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
@@ -156,6 +165,50 @@ def read_fastx_native(path: str, pitch: int, batch: int = 65536):
             yield bases[:n], lengths[:n], amb[:n].astype(bool)
     finally:
         lib.hrm_fastx_close(h)
+
+
+def ssw_finish_batch(query_pool: bytes, query_off, query_len,
+                     ref_pool: bytes, ref_off, ref_len,
+                     score1, ref_begin, ref_end, query_begin, query_end,
+                     flag_in, threads: int = 0, cigar_stride: int = 1024):
+    """Banded CIGAR + =/X rewrite for device-scored pairs.
+
+    All array args are int32 numpy arrays of equal length n.  Returns
+    (cigars list[str], mismatches [n] int32, flags [n] int32).
+    """
+    import os as _os
+
+    import numpy as np
+
+    lib = get_lib()
+    n = len(score1)
+    if n == 0:
+        return [], np.zeros(0, np.int32), np.zeros(0, np.int32)
+    if threads <= 0:
+        threads = min(32, _os.cpu_count() or 1)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    as32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)
+    arrs = [as32(a) for a in (query_off, query_len, ref_off, ref_len,
+                              score1, ref_begin, ref_end, query_begin,
+                              query_end, flag_in)]
+    mism = np.zeros(n, np.int32)
+    flags = np.zeros(n, np.int32)
+    clens = np.zeros(n, np.int32)
+    cigars_buf = ctypes.create_string_buffer(n * cigar_stride)
+    rc = lib.hrm_ssw_finish_batch(
+        query_pool, arrs[0].ctypes.data_as(i32p), arrs[1].ctypes.data_as(i32p),
+        ref_pool, arrs[2].ctypes.data_as(i32p), arrs[3].ctypes.data_as(i32p),
+        arrs[4].ctypes.data_as(i32p), arrs[5].ctypes.data_as(i32p),
+        arrs[6].ctypes.data_as(i32p), arrs[7].ctypes.data_as(i32p),
+        arrs[8].ctypes.data_as(i32p), arrs[9].ctypes.data_as(i32p),
+        n, threads, mism.ctypes.data_as(i32p), flags.ctypes.data_as(i32p),
+        cigars_buf, clens.ctypes.data_as(i32p), cigar_stride)
+    if rc != 0:
+        raise RuntimeError("hrm_ssw_finish_batch failed (cigar overflow?)")
+    raw = cigars_buf.raw
+    cigars = [raw[i * cigar_stride:i * cigar_stride + clens[i]]
+              .decode("latin1") for i in range(n)]
+    return cigars, mism, flags
 
 
 def ssw_align_batch(queries, refs, mask_lens, threads: int = 0,

@@ -165,7 +165,29 @@ def run_cssw(genome: Genome, genome_rc: Genome,
              orientation: np.ndarray, position: np.ndarray,
              chromosome_id: np.ndarray, reads: ReadStorage,
              opts: ProgramOptions) -> List[AlignerArguments]:
-    """The CSSW mapping stage over all reads (mappinghandler.cu:383-774)."""
+    """The CSSW mapping stage over all reads (mappinghandler.cu:383-774).
+
+    Production path: batched argument construction + device striped-SW
+    score passes (ops/swdev.py) + native CIGAR-only finish — bit-identical
+    to the serial host path below (tests/test_mapping_device.py).
+    """
+    from .. import native
+    if (getattr(opts, "step2_device", False) and reads.num_reads > 0
+            and native.available()):
+        try:
+            return _run_cssw_device(genome, genome_rc, orientation, position,
+                                    chromosome_id, reads, opts)
+        except ImportError:
+            pass  # no jax -> host path
+    return _run_cssw_host(genome, genome_rc, orientation, position,
+                          chromosome_id, reads, opts)
+
+
+def _run_cssw_host(genome: Genome, genome_rc: Genome,
+                   orientation: np.ndarray, position: np.ndarray,
+                   chromosome_id: np.ndarray, reads: ReadStorage,
+                   opts: ProgramOptions) -> List[AlignerArguments]:
+    """Serial host reference path (the oracle for the device path)."""
     out: List[AlignerArguments] = []
     n = reads.num_reads
     for r in range(n):
@@ -230,6 +252,180 @@ def run_cssw(genome: Genome, genome_rc: Genome,
             aa.flag_rc = al1.flag
 
     # parallelFor comparefk (mappinghandler.cu:747-766)
+    for aa in out:
+        if aa.flag & 0x4:
+            continue
+        rescore_alignment(aa, 0)
+        rescore_alignment(aa, 1)
+    return out
+
+
+_B4 = np.frombuffer(b"ACGT", dtype=np.uint8)
+_B5 = np.frombuffer(b"ACGTN", dtype=np.uint8)
+_3N_ASCII = np.arange(256, dtype=np.uint8)
+_3N_ASCII[ord("C")] = ord("T")
+
+
+def _run_cssw_device(genome: Genome, genome_rc: Genome,
+                     orientation: np.ndarray, position: np.ndarray,
+                     chromosome_id: np.ndarray, reads: ReadStorage,
+                     opts: ProgramOptions) -> List[AlignerArguments]:
+    """Batched STEP 2: vectorized argument prep (replaces the reference's
+    serial per-read loop, mappinghandler.cu:397-553), device striped-SW
+    score passes (ops/swdev.py), native CIGAR-only finish.  Bit-identical
+    to _run_cssw_host."""
+    from .. import native
+    from ..ops import swdev
+
+    n = reads.num_reads
+    lens = reads.lengths.astype(np.int64)
+    lq = max(1, reads.max_length)
+    mat = reads.bases_matrix(lq)                    # [n, LQ] codes 0..3
+    idx = np.arange(lq)
+    valid = idx[None, :] < lens[:, None]
+    rev_idx = np.clip(lens[:, None] - 1 - idx[None, :], 0, lq - 1)
+    rc_of = lambda m: np.where(valid, 3 - np.take_along_axis(m, rev_idx, 1), 0)
+    # query = read, RC'd in place when orientation == RC (:420-423)
+    fwd_mat = np.where((orientation == REVERSE_COMPLEMENT)[:, None],
+                       rc_of(mat), mat)
+    rcq_mat = rc_of(fwd_mat)
+
+    # window + RC-window gathers (the _window_views slices, batched)
+    ws = opts.window_size
+    win = np.zeros((n, ws), np.uint8)
+    win_rc = np.zeros((n, ws), np.uint8)
+    wlens = np.zeros(n, np.int64)
+    iw = np.arange(ws)
+    for c in np.unique(chromosome_id):
+        rows = np.nonzero(chromosome_id == c)[0]
+        seq = genome.seqs_ascii[int(c)]
+        seq_rc = genome_rc.seqs_ascii[int(c)]
+        size = len(seq)
+        p = position[rows].astype(np.int64)
+        wl = np.where(p + ws < size, ws, size - p)
+        g = p[:, None] + iw[None, :]
+        v = iw[None, :] < wl[:, None]
+        win[rows] = np.where(v, seq[np.clip(g, 0, size - 1)], 0)
+        aef = size - p - 1                       # RC slice start (:430-450)
+        g2 = aef[:, None] + iw[None, :]
+        win_rc[rows] = np.where(v & (g2 < size),
+                                seq_rc[np.clip(g2, 0, size - 1)], 0)
+        wlens[rows] = wl
+
+    q_ascii = _B4[fwd_mat]
+    rcq_ascii = _B4[rcq_mat]
+    out: List[AlignerArguments] = []
+    for r in range(n):
+        rl = int(lens[r])
+        wlen = int(wlens[r])
+        aa = AlignerArguments()
+        aa.read_id = r
+        aa.query = q_ascii[r, :rl].tobytes().decode("latin1")
+        aa.rc_query = rcq_ascii[r, :rl].tobytes().decode("latin1")
+        aa.three_n_query = _3N_ASCII[q_ascii[r, :rl]].tobytes().decode("latin1")
+        aa.three_n_rc_query = _3N_ASCII[rcq_ascii[r, :rl]].tobytes().decode(
+            "latin1")
+        aa.ref = win[r, :wlen].tobytes().decode("latin1")
+        aa.rc_ref = win_rc[r, :wlen].tobytes().decode("latin1")
+        aa.three_n_ref = _3N_ASCII[win[r, :wlen]].tobytes().decode("latin1")
+        aa.window_length = wlen
+        aa.position = int(position[r])
+        aa.chromosome_id = int(chromosome_id[r])
+        aa.mask_len = max(15, rl // 2)
+        aa.alignments = [sw.Alignment(), sw.Alignment()]
+        aa.num_conversions = [0, 0]
+        if orientation[r] == NONE:
+            aa.flag |= 0x4
+        out.append(aa)
+
+    m = np.nonzero(orientation != NONE)[0]
+    nm = len(m)
+    if nm:
+        # device pairs: [2i] = 3N query, [2i+1] = 3N RC query, same 3N ref
+        q3n = np.where(fwd_mat == 1, 3, fwd_mat).astype(np.int8)
+        rcq3n = np.where(rcq_mat == 1, 3, rcq_mat).astype(np.int8)
+        ref3n = sw.TRANSLATE[win].astype(np.int8)
+        ref3n = np.where(ref3n == 1, 3, ref3n)
+        P = 2 * nm
+        pair_q = np.empty((P, lq), np.int8)
+        pair_q[0::2] = q3n[m]
+        pair_q[1::2] = rcq3n[m]
+        pair_ref = np.repeat(ref3n[m], 2, axis=0)
+        pair_rl = np.repeat(lens[m], 2).astype(np.int32)
+        pair_fl = np.repeat(wlens[m], 2).astype(np.int32)
+        pair_ml = np.repeat(np.maximum(15, lens[m] // 2), 2).astype(np.int32)
+
+        chunk = max(256, int(opts.step2_pair_chunk))
+        fields = ("score1", "score2", "ref_end", "ref_end2", "query_end",
+                  "ref_begin", "query_begin", "flag")
+        dev = {k: np.empty(P, np.int32) for k in fields}
+        dev["host_fallback"] = np.empty(P, bool)
+        dev["degenerate"] = np.empty(P, bool)
+        for s in range(0, P, chunk):
+            e = min(s + chunk, P)
+            pad = chunk - (e - s)
+            sl = lambda a, fill: (np.concatenate(
+                [a[s:e], np.full((pad,) + a.shape[1:], fill, a.dtype)])
+                if pad else a[s:e])
+            res = swdev.ssw_score_batch(
+                sl(pair_q, 4), sl(pair_rl, 1), sl(pair_ref, 4),
+                sl(pair_fl, 1), sl(pair_ml, 15))
+            for k in dev:
+                dev[k][s:e] = res[k][:e - s]
+
+        fb = dev["host_fallback"]
+        dg = dev["degenerate"] & ~fb
+        fin = np.nonzero(~fb & ~dg)[0]
+        als: List[Optional[sw.Alignment]] = [None] * P
+
+        # native finish in blocks (keeps pool offsets within int32)
+        fin_block = 1 << 16
+        for b0 in range(0, len(fin), fin_block):
+            fb_idx = fin[b0:b0 + fin_block]
+            nf = len(fb_idx)
+            q_rows = _B5[pair_q[fb_idx]]
+            r_rows = _B5[pair_ref[fb_idx]]
+            cigars, mism, flags = native.ssw_finish_batch(
+                q_rows.tobytes(), np.arange(nf, dtype=np.int64) * lq,
+                pair_rl[fb_idx],
+                r_rows.tobytes(), np.arange(nf, dtype=np.int64) * ws,
+                pair_fl[fb_idx],
+                dev["score1"][fb_idx], dev["ref_begin"][fb_idx],
+                dev["ref_end"][fb_idx], dev["query_begin"][fb_idx],
+                dev["query_end"][fb_idx], dev["flag"][fb_idx],
+                threads=max(1, opts.threads))
+            for j, pi in enumerate(fb_idx):
+                als[pi] = sw.Alignment(
+                    sw_score=int(dev["score1"][pi]),
+                    sw_score_next_best=int(dev["score2"][pi]),
+                    ref_begin=int(dev["ref_begin"][pi]),
+                    ref_end=int(dev["ref_end"][pi]),
+                    query_begin=int(dev["query_begin"][pi]),
+                    query_end=int(dev["query_end"][pi]),
+                    ref_end_next_best=int(dev["ref_end2"][pi]),
+                    mismatches=int(mism[j]), cigar_string=cigars[j],
+                    flag=int(flags[j]))
+        for pi in np.nonzero(dg)[0]:
+            # ssw_align's early return (score 0): score-only result
+            als[pi] = sw.Alignment(
+                sw_score=int(dev["score1"][pi]),
+                sw_score_next_best=int(dev["score2"][pi]),
+                ref_begin=-1, ref_end=int(dev["ref_end"][pi]),
+                query_begin=-1, query_end=int(dev["query_end"][pi]),
+                ref_end_next_best=int(dev["ref_end2"][pi]))
+        for pi in np.nonzero(fb)[0]:
+            # byte saturation -> host word-mode rerun (align/sw.py:379-388)
+            q = _B5[pair_q[pi, :pair_rl[pi]]].tobytes().decode("latin1")
+            w = _B5[pair_ref[pi, :pair_fl[pi]]].tobytes().decode("latin1")
+            als[pi] = sw.ssw_align(q, w, int(pair_ml[pi]))
+
+        for i, r in enumerate(m):
+            aa = out[r]
+            aa.alignments[0] = als[2 * i]
+            aa.flag = als[2 * i].flag
+            aa.alignments[1] = als[2 * i + 1]
+            aa.flag_rc = als[2 * i + 1].flag
+
     for aa in out:
         if aa.flag & 0x4:
             continue

@@ -257,6 +257,70 @@ static bool banded_cigar(const std::vector<int8_t>& read,
     return true;
 }
 
+// Shared tail of the aligner: banded traceback over the matched subregion
+// plus the M -> =/X rewrite with soft clips.  Fills cigar/mismatches/flag.
+// flag_in carries the reverse-pass flag (0 ok / 2 begin-missing); banded
+// failure overrides it with 1 (matching s_align flag semantics).
+static void finish_alignment(const std::vector<int8_t>& read,
+                             const std::vector<int8_t>& ref_t,
+                             int query_len_total,
+                             int score1, int ref_begin, int ref_end,
+                             int query_begin, int query_end, int flag_in,
+                             int gap_open, int gap_extend,
+                             int match_s, int mismatch_s,
+                             int32_t* flag_out, int32_t* mismatches_out,
+                             std::string* cig_out) {
+    *flag_out = flag_in;
+    *mismatches_out = 0;
+    cig_out->clear();
+    std::vector<int8_t> sub_read(read.begin() + query_begin,
+                                 read.begin() + query_end + 1);
+    std::vector<int8_t> sub_ref(ref_t.begin() + ref_begin,
+                                ref_t.begin() + ref_end + 1);
+    std::vector<std::pair<int, char>> entries;
+    if (!banded_cigar(sub_read, sub_ref, score1, gap_open, gap_extend,
+                      match_s, mismatch_s, &entries)) {
+        *flag_out = 1;
+        return;
+    }
+    std::string& cig = *cig_out;
+    int mismatches = 0;
+    if (query_begin > 0) cig += std::to_string(query_begin) + "S";
+    int ri = ref_begin, qi = query_begin;
+    int run_len = 0;
+    char run_op = 0;
+    auto flush = [&]() {
+        if (run_len) cig += std::to_string(run_len) + run_op;
+        run_len = 0;
+        run_op = 0;
+    };
+    for (auto& ent : entries) {
+        if (ent.second == 'M') {
+            for (int t = 0; t < ent.first; t++) {
+                char cur = (ref_t[ri] == read[qi] ? '=' : 'X');
+                if (cur == 'X') mismatches++;
+                if (cur != run_op) { flush(); run_op = cur; }
+                run_len++;
+                ri++; qi++;
+            }
+        } else if (ent.second == 'I') {
+            mismatches += ent.first;
+            flush();
+            cig += std::to_string(ent.first) + "I";
+            qi += ent.first;
+        } else {  // D
+            mismatches += ent.first;
+            flush();
+            cig += std::to_string(ent.first) + "D";
+            ri += ent.first;
+        }
+    }
+    flush();
+    int end_clip = query_len_total - query_end - 1;
+    if (end_clip > 0) cig += std::to_string(end_clip) + "S";
+    *mismatches_out = mismatches;
+}
+
 }  // namespace
 
 extern "C" {
@@ -331,60 +395,35 @@ int hrm_ssw_align(const char* query, int query_len,
 
     if (!compute_cigar) return 0;
 
-    std::vector<int8_t> sub_read(read.begin() + out->query_begin,
-                                 read.begin() + fw.end_read + 1);
-    std::vector<int8_t> sub_ref(ref_t.begin() + out->ref_begin,
-                                ref_t.begin() + fw.end_ref + 1);
-    std::vector<std::pair<int, char>> entries;
-    if (!banded_cigar(sub_read, sub_ref, fw.best, gap_open, gap_extend,
-                      match_s, mismatch_s, &entries)) {
-        out->flag = 1;
-        return 0;
-    }
-
-    // M -> =/X rewrite with clips (mirrors sw.py::_rewrite_m_to_eq_x)
     std::string cig;
-    int mismatches = 0;
-    if (out->query_begin > 0)
-        cig += std::to_string(out->query_begin) + "S";
-    int ri = out->ref_begin, qi = out->query_begin;
-    int run_len = 0;
-    char run_op = 0;
-    auto flush = [&]() {
-        if (run_len) cig += std::to_string(run_len) + run_op;
-        run_len = 0;
-        run_op = 0;
-    };
-    for (auto& ent : entries) {
-        if (ent.second == 'M') {
-            for (int t = 0; t < ent.first; t++) {
-                char cur = (ref_t[ri] == read[qi] ? '=' : 'X');
-                if (cur == 'X') mismatches++;
-                if (cur != run_op) { flush(); run_op = cur; }
-                run_len++;
-                ri++; qi++;
-            }
-        } else if (ent.second == 'I') {
-            mismatches += ent.first;
-            flush();
-            cig += std::to_string(ent.first) + "I";
-            qi += ent.first;
-        } else {  // D
-            mismatches += ent.first;
-            flush();
-            cig += std::to_string(ent.first) + "D";
-            ri += ent.first;
-        }
-    }
-    flush();
-    int end_clip = query_len - out->query_end - 1;
-    if (end_clip > 0) cig += std::to_string(end_clip) + "S";
-    out->mismatches = mismatches;
+    finish_alignment(read, ref_t, query_len, fw.best, out->ref_begin,
+                     fw.end_ref, out->query_begin, fw.end_read, out->flag,
+                     gap_open, gap_extend, match_s, mismatch_s,
+                     &out->flag, &out->mismatches, &cig);
     out->cigar_len = (int)cig.size();
     if ((int)cig.size() + 1 > cigar_buf_size) return 1;
     std::memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Finish-only batch: the striped score passes already ran on the device
+// (hashreadmapper_tpu/ops/swdev.py); this computes just the banded CIGAR +
+// =/X rewrite for each pair from the device-provided positions.  Matches
+// the tail of ssw_align (align/sw.py:430-443).  Threaded like
+// hrm_ssw_align_batch.  Returns 0 on success, 1 if any cigar overflowed.
+// ---------------------------------------------------------------------------
+int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
+                         const int32_t* query_len,
+                         const char* ref_pool, const int32_t* ref_off,
+                         const int32_t* ref_len,
+                         const int32_t* score1, const int32_t* ref_begin,
+                         const int32_t* ref_end, const int32_t* query_begin,
+                         const int32_t* query_end, const int32_t* flag_in,
+                         int n_pairs, int n_threads,
+                         int32_t* mismatches_out, int32_t* flag_out,
+                         char* cigar_pool, int32_t* cigar_len_out,
+                         int cigar_stride);
 
 }  // extern "C"
 
@@ -422,6 +461,49 @@ int hrm_ssw_align_batch(const char* query_pool, const int32_t* query_off,
                 mask_len[i], compute_cigar, &out[i],
                 cigar_pool + (size_t)i * cigar_stride, cigar_stride);
             if (rc != 0) err.store(1);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+    return err.load();
+}
+
+int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
+                         const int32_t* query_len,
+                         const char* ref_pool, const int32_t* ref_off,
+                         const int32_t* ref_len,
+                         const int32_t* score1, const int32_t* ref_begin,
+                         const int32_t* ref_end, const int32_t* query_begin,
+                         const int32_t* query_end, const int32_t* flag_in,
+                         int n_pairs, int n_threads,
+                         int32_t* mismatches_out, int32_t* flag_out,
+                         char* cigar_pool, int32_t* cigar_len_out,
+                         int cigar_stride) {
+    const int gap_open = 3, gap_extend = 1, match_s = 2, mismatch_s = 2;
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int> next{0};
+    std::atomic<int> err{0};
+    auto worker = [&]() {
+        std::string cig;
+        while (true) {
+            int i = next.fetch_add(1);
+            if (i >= n_pairs) break;
+            const int ql = query_len[i], fl = ref_len[i];
+            std::vector<int8_t> read(ql), ref_t(fl);
+            const char* q = query_pool + query_off[i];
+            const char* r = ref_pool + ref_off[i];
+            for (int t = 0; t < ql; t++) read[t] = translate_char(q[t]);
+            for (int t = 0; t < fl; t++) ref_t[t] = translate_char(r[t]);
+            finish_alignment(read, ref_t, ql, score1[i], ref_begin[i],
+                             ref_end[i], query_begin[i], query_end[i],
+                             flag_in[i], gap_open, gap_extend, match_s,
+                             mismatch_s, &flag_out[i], &mismatches_out[i],
+                             &cig);
+            cigar_len_out[i] = (int32_t)cig.size();
+            if ((int)cig.size() + 1 > cigar_stride) { err.store(1); continue; }
+            std::memcpy(cigar_pool + (size_t)i * cigar_stride, cig.c_str(),
+                        cig.size() + 1);
         }
     };
     std::vector<std::thread> threads;
