@@ -1,17 +1,21 @@
-"""Benchmark: coarse BS-read mapping throughput on one TPU chip.
+"""Benchmark: BS-read mapping throughput on one TPU chip (3N configuration).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": R, ...}
+
+The flagship metric is the 3N (bisulfite) configuration on 90%-converted
+reads — the project's actual workload (reference README.md:1 "3N hash based
+readmapper for C->T BS conversion") — measured over the jitted coarse map
+step (signatures -> CSR probe -> vote -> SHD -> per-read best) with the
+read pool device-resident.  Extra keys report the end-to-end rate
+(coarse + STEP-2 fine alignment/SAM + STEP-3 VCF, reference phase timers
+src/gpu/main_gpu.cu:1147-1154) and the parity-mode coarse rate.
 
 Baseline provenance: the reference publishes no numbers (BASELINE.md).  The
-documented estimate is its production SLURM shape — 10M reads / 6 GPUs within
-a 20-minute walltime request (reference: scriptJob:10-17,40) — i.e. >=8333
-reads/s aggregate, ~1389 reads/s per GPU.  vs_baseline = value / 1389.
-
-The workload mirrors the mapper's steady state: synthetic 8 Mbp genome,
-window index resident in HBM, 100 bp reads (50% RC, 1% substitutions, 10%
-junk) streamed through the jitted map step (signatures -> CSR probe -> vote
--> SHD -> per-read best).
+documented estimate is its production SLURM shape — 10M reads / 6 GPUs
+within a 20-minute walltime request (reference: scriptJob:10-17,40) — i.e.
+>=8333 reads/s aggregate, ~1389 reads/s per GPU (an ESTIMATE, not a
+measurement).  vs_baseline = value / 1389.
 """
 
 import json
@@ -27,59 +31,53 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from hashreadmapper_tpu.config import ProgramOptions
+def make_genome_and_reads(rng, genome_len, n_reads, read_len, three_n):
     from hashreadmapper_tpu.io.genome import Genome
-    from hashreadmapper_tpu.pipeline.engine import CoarseMapper
-
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-
-    rng = np.random.default_rng(0)
-    genome_len = 8_000_000
-    read_len = 100
-    batch = 2048
-    n_batches = 24
 
     chrom_bases = rng.integers(0, 4, size=genome_len, dtype=np.int8)
     chrom = "".join(np.array(list("ACGT"))[chrom_bases])
     genome = Genome(["chrB"], [chrom])
 
-    opts = ProgramOptions(
-        kmer_length=16, num_hash_functions=16, window_size=128,
-        min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
-        probe_cap=16, candidates_per_read_cap=8, max_read_length=128)
-
-    t0 = time.perf_counter()
-    mapper = CoarseMapper(genome, opts)
-    log(f"index build: {time.perf_counter()-t0:.2f}s, "
-        f"{mapper.index.memory_bytes()/1e6:.1f} MB, "
-        f"{mapper.table.num_windows} windows")
-
-    # reads: planted with 1% substitutions, 50% RC, 10% junk
-    n_reads = batch * n_batches
     starts = rng.integers(0, genome_len - read_len, size=n_reads)
     reads = chrom_bases[starts[:, None] + np.arange(read_len)[None, :]].copy()
     sub = rng.random(reads.shape) < 0.01
     reads[sub] = rng.integers(0, 4, size=int(sub.sum()))
     rc = rng.random(n_reads) < 0.5
     reads[rc] = 3 - reads[rc][:, ::-1]
+    if three_n:
+        # bisulfite converts the sequenced strand: 90% of Cs read as T,
+        # applied in READ space (after any reverse-complement)
+        conv = (reads == 1) & (rng.random(reads.shape) < 0.9)
+        reads[conv] = 3
     junk = rng.random(n_reads) < 0.10
     reads[junk] = rng.integers(0, 4, size=(int(junk.sum()), read_len),
                                dtype=np.int8)
-    reads = np.pad(reads, ((0, 0), (0, opts.max_read_length - read_len)))
-    lengths = np.full(n_reads, read_len, dtype=np.int32)
+    return genome, reads, starts
 
-    f = opts.num_hash_functions
+
+def coarse_rate(genome, reads, opts, label):
+    """Steady-state coarse rate over the device-resident read pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from hashreadmapper_tpu.pipeline.engine import CoarseMapper
+
+    n_reads, read_len = reads.shape
+    batch = opts.batchsize
+    n_batches = n_reads // batch
+
+    t0 = time.perf_counter()
+    mapper = CoarseMapper(genome, opts)
+    log(f"[{label}] index build: {time.perf_counter()-t0:.2f}s, "
+        f"{mapper.index.memory_bytes()/1e6:.1f} MB, "
+        f"{mapper.table.num_windows} windows")
+
+    f = opts.num_hash_functions * (2 if opts.three_n_seeding else 1)
     dropped = (jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
                jnp.zeros((f,), dtype=jnp.int32))
-
-    # reads live on device; batches are sliced in-jit (no per-batch H2D)
-    all_bases = jnp.asarray(reads)
-    all_lens = jnp.asarray(lengths)
+    padded = np.pad(reads, ((0, 0), (0, opts.max_read_length - read_len)))
+    all_bases = jnp.asarray(padded)
+    all_lens = jnp.asarray(np.full(n_reads, read_len, dtype=np.int32))
     all_valid = jnp.ones((n_reads,), dtype=bool)
     jax.block_until_ready([all_bases, all_lens, all_valid])
 
@@ -88,11 +86,10 @@ def main():
             all_bases, all_lens, all_valid, jnp.int32(i * batch), batch,
             dropped[0], dropped[1])
 
-    # warmup / compile
     t0 = time.perf_counter()
     out = run_batch(0)
     jax.block_until_ready(out)
-    log(f"compile+first batch: {time.perf_counter()-t0:.2f}s")
+    log(f"[{label}] compile+first batch: {time.perf_counter()-t0:.2f}s")
 
     t0 = time.perf_counter()
     outs = [out]
@@ -100,20 +97,84 @@ def main():
         outs.append(run_batch(i))
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
-    n_done = batch * (n_batches - 1)
-    rps = n_done / dt
+    rps = batch * (n_batches - 1) / dt
 
-    import jax.numpy as jnp2
-    all_packed = np.asarray(jnp2.concatenate([o[0] for o in outs], axis=0))
-    n_mapped = int((all_packed[:, 0] != 3).sum())
-    log(f"{n_done} reads in {dt:.3f}s -> {rps:,.0f} reads/s; "
-        f"mapped {n_mapped}/{n_reads}")
+    packed = np.asarray(jnp.concatenate([o[0] for o in outs], axis=0))
+    n_mapped = int((packed[:, 0] != 3).sum())
+    log(f"[{label}] {batch*(n_batches-1)} reads in {dt:.3f}s -> "
+        f"{rps:,.0f} reads/s; mapped {n_mapped}/{n_reads}")
+    return rps, mapper, packed, dt
+
+
+def main():
+    import jax
+
+    from hashreadmapper_tpu.config import ProgramOptions
+    from hashreadmapper_tpu.io.readstore import ReadStorage, pack_rows
+    from hashreadmapper_tpu.pipeline import mapping
+
+    log(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(0)
+    genome_len = 8_000_000
+    read_len = 100
+    batch = 2048
+    n_reads = batch * 24
+
+    def opts_for(three_n):
+        return ProgramOptions(
+            kmer_length=16, num_hash_functions=16, window_size=128,
+            min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
+            probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
+            threads=4, three_n_seeding=three_n)
+
+    # --- flagship: 3N configuration on 90%-converted BS reads ---
+    genome, reads, _ = make_genome_and_reads(
+        rng, genome_len, n_reads, read_len, three_n=True)
+    opts3 = opts_for(True)
+    rps_3n, mapper, packed, t_coarse = coarse_rate(genome, reads, opts3,
+                                                   "3N")
+
+    # --- end-to-end: STEP 2 (device SSW -> SAM) + STEP 3 (VCF) on the
+    # coarse results (reference "process mapping"/"process variant calling"
+    # phases, main_gpu.cu:1147-1154) ---
+    genome_rc = genome.reverse_complement()
+    lengths = np.full(n_reads, read_len, np.int32)
+    store = ReadStorage(pack_rows(reads, lengths, (read_len + 15) // 16),
+                        lengths, np.zeros(n_reads, bool))
+    orientation = packed[:, 0].astype(np.int8)
+    position = packed[:, 4].astype(np.int64)
+    chromosome_id = packed[:, 3].astype(np.int32)
+    # warm the STEP-2 kernels on a small slice so the e2e number reflects
+    # steady state, not remote-compile
+    warm = ReadStorage(store.packed[:256], lengths[:256],
+                       np.zeros(256, bool))
+    mapping.run_cssw(genome, genome_rc, orientation[:256], position[:256],
+                     chromosome_id[:256], warm, opts3)
+    t0 = time.perf_counter()
+    aas = mapping.run_cssw(genome, genome_rc, orientation, position,
+                           chromosome_id, store, opts3)
+    sam_stats = mapping.print_to_sam(aas, genome, "/tmp/bench_out.SAM")
+    mapping.do_vc(aas, genome, "/tmp/bench_out")
+    t_step23 = time.perf_counter() - t0
+    # coarse time for ALL reads at the steady rate
+    t_coarse_full = n_reads / rps_3n
+    rps_e2e = n_reads / (t_coarse_full + t_step23)
+    log(f"[e2e] STEP2+3: {t_step23:.2f}s ({sam_stats}); "
+        f"e2e {rps_e2e:,.0f} reads/s")
+
+    # --- parity-mode coarse rate (the round-1 configuration) ---
+    genome_p, reads_p, _ = make_genome_and_reads(
+        rng, genome_len, n_reads, read_len, three_n=False)
+    rps_parity, _, _, _ = coarse_rate(genome_p, reads_p, opts_for(False),
+                                      "parity")
 
     print(json.dumps({
         "metric": "bs_reads_coarse_mapped_per_sec_per_chip",
-        "value": round(rps, 1),
+        "value": round(rps_3n, 1),
         "unit": "reads/s",
-        "vs_baseline": round(rps / REFERENCE_READS_PER_SEC_PER_CHIP, 2),
+        "vs_baseline": round(rps_3n / REFERENCE_READS_PER_SEC_PER_CHIP, 2),
+        "e2e_sam_vcf_reads_per_sec": round(rps_e2e, 1),
+        "parity_coarse_reads_per_sec": round(rps_parity, 1),
     }))
 
 

@@ -82,6 +82,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int,    # n_pairs, threads
             i32p, i32p,                    # mismatches_out, flag_out
             ctypes.c_char_p, i32p, ctypes.c_int]  # cigars, lens, stride
+        lib.hrm_rescore_batch.restype = ctypes.c_int
+        lib.hrm_rescore_batch.argtypes = [
+            ctypes.c_char_p, i32p, i32p,   # per-alignment query pool/off/len
+            ctypes.c_char_p, i32p, i32p,   # ref
+            ctypes.c_char_p, i32p, i32p,   # rc ref
+            ctypes.c_char_p, i32p, i32p,   # cigar
+            i32p, i32p, i32p,              # sw_score io, sw_next io, conv out
+            ctypes.c_int, ctypes.c_int]
         lib.hrm_nw_distance.restype = ctypes.c_int
         lib.hrm_nw_distance.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
@@ -209,6 +217,42 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
     cigars = [raw[i * cigar_stride:i * cigar_stride + clens[i]]
               .decode("latin1") for i in range(n)]
     return cigars, mism, flags
+
+
+def rescore_batch(q_pool: bytes, q_off, q_len, ref_pool: bytes, ref_off,
+                  ref_len, rcref_pool: bytes, rcref_off, rcref_len,
+                  cig_pool: bytes, cig_off, cig_len, sw_score, sw_next,
+                  threads: int = 0):
+    """Native bisulfite rescoring (recalculateAlignmentScorefk batch).
+
+    sw_score / sw_next are int32 arrays adjusted IN PLACE; returns the
+    per-alignment conversion counts."""
+    import os as _os
+
+    import numpy as np
+
+    lib = get_lib()
+    n = len(sw_score)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    if threads <= 0:
+        threads = min(32, _os.cpu_count() or 1)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    as32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)
+    offs = [as32(a) for a in (q_off, q_len, ref_off, ref_len, rcref_off,
+                              rcref_len, cig_off, cig_len)]
+    assert sw_score.dtype == np.int32 and sw_score.flags.c_contiguous
+    assert sw_next.dtype == np.int32 and sw_next.flags.c_contiguous
+    conv = np.zeros(n, np.int32)
+    lib.hrm_rescore_batch(
+        q_pool, offs[0].ctypes.data_as(i32p), offs[1].ctypes.data_as(i32p),
+        ref_pool, offs[2].ctypes.data_as(i32p), offs[3].ctypes.data_as(i32p),
+        rcref_pool, offs[4].ctypes.data_as(i32p),
+        offs[5].ctypes.data_as(i32p),
+        cig_pool, offs[6].ctypes.data_as(i32p), offs[7].ctypes.data_as(i32p),
+        sw_score.ctypes.data_as(i32p), sw_next.ctypes.data_as(i32p),
+        conv.ctypes.data_as(i32p), n, threads)
+    return conv
 
 
 def ssw_align_batch(queries, refs, mask_lens, threads: int = 0,

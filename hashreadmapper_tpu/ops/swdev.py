@@ -16,15 +16,20 @@ O(segLen * lanes) scalar steps:
                                              - gapO - gapE*(j-1), 0).
   lazy-F loop   within one pass vF only decays (no H feedback), so the vF
                 seen at (pass kk, row j, lane k) is
-                max(vf_init[k-kk] - (kk-1)*segLen - j, 0); the early-exit
-                point is the first (kk, j) in lex order where no lane can
-                still improve H, found with one argmax over the
-                [lanes, S, lanes] condition tensor.
+                max(vf_init[k-kk] - (kk-1)*segLen - j, 0).  With
+                B = base(kk)[k] = vf_init[k-kk] - (kk-1)*segLen and
+                C = cummax_kk(B), the early-exit predicate
+                "vf_next > max(h_upd - gapO, 0)" reduces to
+                T > max(H[j,k] + j, j + 3) where T = B + 2 if B >= C-1
+                else -inf; the first (kk, j) in lex order with any lane
+                true is found with one argmax.
 
-Everything is int32 arithmetic (the uint8 bias/saturation semantics are
-emulated exactly); pairs whose score saturates (score1 + bias >= 255) are
-flagged and the caller re-runs them through the host word-mode path, exactly
-as ssw_align does (align/sw.py:379-388).
+Layout: all state is kept pairs-minor ([segs, lanes, P]) so the batch
+dimension rides the TPU's 128-wide vector lanes; the 16 SSE lanes live on
+sublanes.  Everything is int32 arithmetic (the uint8 bias/saturation
+semantics are emulated exactly); pairs whose score saturates
+(score1 + bias >= 255) are flagged and the caller re-runs them through the
+host word-mode path, exactly as ssw_align does (align/sw.py:379-388).
 
 The reverse pass (begin positions, ssw.c:877-886) runs the same kernel on
 the reversed read prefix with descending columns and terminate = score1;
@@ -50,159 +55,156 @@ SAT = 255
 _BIG = jnp.int32(0x3FFFFFFF)
 
 
-def _column_update(h_prev, e_old, pre_mask, read_at, seg_len, ref_base,
-                   pad_profile):
-    """One striped byte-mode column, closed form.
+def _pass_batched(read_at, pre_mask, pos, seg_len, ref_t, ref_len,
+                  terminate, ref_dir: int, n_cols: int,
+                  want_max_column: bool):
+    """The striped byte-mode pass over a batch, pairs-minor layout.
 
-    h_prev, e_old: [S, 16] int32 state from the previous column.
-    pre_mask:      [S, 16] bool, True where pos < read_len (real positions).
-    read_at:       [S, 16] int32 read codes at each striped position.
-    seg_len:       traced scalar (ceil(read_len / 16)).
-    ref_base:      traced scalar ref code for this column.
-    pad_profile:   [S, 16] int32 profile value at padding positions (= bias).
+    read_at  [S, 16, P] int32  read codes at each striped position
+    pre_mask [S, 16, P] bool   pos < read_len
+    pos      [S, 16, P] int32  striped position map (j + k*segLen)
+    seg_len  [P] int32
+    ref_t    [n_cols, P] int32 ref codes, column-major
+    ref_len  [P] int32
+    terminate[P] int32
 
-    Returns (h_fin, e_new, colmax).
+    Returns (best, end_ref, end_read, max_column [n_cols, P] or None,
+    overflowed), all [P] unless noted.
     """
-    S = h_prev.shape[0]
-    j_col = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)    # [S,1]
-    arow = j_col < seg_len                                    # [S,1] active
+    S = read_at.shape[0]
+    P = read_at.shape[2]
+    j_col = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0)
+    arow = j_col < seg_len[None, None, :]                    # [S,1,P]
+    kk_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1, 1), 0) + 1
+    src = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+           - jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0) - 1)
+    src_clip = jnp.clip(src, 0, LANES - 1)
+    src_ok = (src >= 0)[:, :, None]
+    # gather-free row selections: one-hot masks (TPU gathers are slow)
+    oh_last = (j_col == jnp.maximum(seg_len - 1, 0)[None, None, :])  # [S,1,P]
+    kk_iota3 = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1, 1), 0)
 
-    match = (read_at == ref_base) & (ref_base < 4)
-    p = jnp.where(pre_mask, jnp.where(match, MATCH + BIAS, -MISMATCH + BIAS),
-                  pad_profile)
+    def column(h_prev, e_old, ref_base):
+        """One column; ref_base [P].  Returns (h_fin, e_new, colmax)."""
+        match = (read_at == ref_base[None, None, :]) & \
+                (ref_base < 4)[None, None, :]
+        p = jnp.where(pre_mask,
+                      jnp.where(match, MATCH + BIAS, -MISMATCH + BIAS),
+                      BIAS)
+        # vh_in[0] = lane-shift(h_prev[segLen-1]); vh_in[j>0] = h_prev[j-1]
+        last = jnp.max(jnp.where(oh_last, h_prev, 0), axis=0)  # [16,P]
+        row0 = jnp.concatenate(
+            [jnp.zeros((1, P), jnp.int32), last[:-1]], axis=0)
+        vh_in = jnp.concatenate([row0[None], h_prev[:-1]], axis=0)
 
-    # vh_in[0] = lane-shift(h_prev[seg_len-1]); vh_in[j>0] = h_prev[j-1]
-    last = jax.lax.dynamic_index_in_dim(
-        h_prev, jnp.clip(seg_len - 1, 0, S - 1), axis=0, keepdims=False)
-    row0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), last[:-1]])
-    vh_in = jnp.concatenate([row0[None, :], h_prev[:-1]], axis=0)
+        a = jnp.maximum(jnp.minimum(vh_in + p, SAT) - BIAS, 0)
+        pre = jnp.where(arow, jnp.maximum(a, e_old), 0)
 
-    a = jnp.maximum(jnp.minimum(vh_in + p, SAT) - BIAS, 0)
-    pre = jnp.maximum(a, e_old)
-    pre = jnp.where(arow, pre, 0)
+        g = pre + j_col                                       # gapE = 1
+        run = jax.lax.cummax(g, axis=0)
+        vf = jnp.concatenate(
+            [jnp.zeros((1, LANES, P), jnp.int32),
+             run[:-1] - GAP_OPEN - (j_col[1:] - 1)], axis=0)
+        vf = jnp.maximum(vf, 0)
+        h_main = jnp.where(arow, jnp.maximum(pre, vf), 0)
+        e_new = jnp.where(
+            arow, jnp.maximum(jnp.maximum(e_old - GAP_EXTEND, 0),
+                              jnp.maximum(h_main - GAP_OPEN, 0)), 0)
+        run_last = jnp.max(jnp.where(oh_last, run, 0), axis=0)  # [16,P]
+        vf_init = jnp.maximum(
+            run_last - GAP_OPEN - (seg_len - 1)[None, :], 0)  # [16,P]
 
-    # vF chain closed form (max-plus prefix scan per lane)
-    g = pre + GAP_EXTEND * j_col
-    run = jax.lax.cummax(g, axis=0)
-    vf = jnp.concatenate(
-        [jnp.zeros((1, LANES), jnp.int32),
-         run[:-1] - GAP_OPEN - GAP_EXTEND * (j_col[1:] - 1)], axis=0)
-    vf = jnp.maximum(vf, 0)
-    h_main = jnp.where(arow, jnp.maximum(pre, vf), 0)
-    e_new = jnp.where(
-        arow,
-        jnp.maximum(jnp.maximum(e_old - GAP_EXTEND, 0),
-                    jnp.maximum(h_main - GAP_OPEN, 0)), 0)
-    # vF after the last active row = lazy-F input
-    run_last = jax.lax.dynamic_index_in_dim(
-        run, jnp.clip(seg_len - 1, 0, S - 1), axis=0, keepdims=False)
-    vf_init = jnp.maximum(run_last - GAP_OPEN - GAP_EXTEND * (seg_len - 1), 0)
+        # lazy-F closed form
+        vi = jnp.where(src_ok, vf_init[src_clip], 0)          # [16,16,P]
+        base = vi - (kk_i - 1) * seg_len[None, None, :]
+        cbase = jax.lax.cummax(base, axis=0)
+        t_thr = jnp.where(base >= cbase - 1, base + 2, -_BIG)
+        m3 = jnp.maximum(h_main + j_col, j_col + 3)           # [S,16,P]
+        # stop[kk,j] = NOT any_k( T[kk,k] > M[j,k] ): no lane can still
+        # improve H, the lazy loop's early exit
+        r4 = t_thr[:, None, :, :] - m3[None, :, :, :]         # [16,S,16,P]
+        cond = (jnp.max(r4, axis=2) <= 0) & arow[None, :, 0, :]  # [16,S,P]
 
-    # --- lazy-F, closed form over passes kk = 1..16 ---
-    # base(kk)[k] = vf_init[k-kk] - (kk-1)*segLen ; vF(kk,j) = max(base-j, 0)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0) + 1   # [16,1]
-    k_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)  # [16,16]
-    src = k_l - kk                                                # [16,16]
-    vi = jnp.where(src >= 0, vf_init[jnp.clip(src, 0, LANES - 1)], 0)
-    base = vi - (kk - 1) * seg_len                                # [16,16]
-    cbase = jax.lax.cummax(base, axis=0)                          # [16,16]
-
-    jj = j_col[None, :, :]                                        # [1,S,1]
-    h_upd = jnp.maximum(h_main[None],
-                        jnp.maximum(cbase[:, None, :] - jj, 0))   # [16,S,16]
-    vhg = jnp.maximum(h_upd - GAP_OPEN, 0)
-    vf_next = jnp.maximum(base[:, None, :] - (jj + 1), 0)
-    cond = ~jnp.any(vf_next > vhg, axis=2) & arow[None, :, 0]     # [16,S]
-
-    flat = cond.reshape(-1)
-    has_stop = jnp.any(flat)
-    first = jnp.argmax(flat).astype(jnp.int32)
-    kk_s = first // S                # 0-based pass index of the stop
-    j_s = first % S
-    cb_stop = cbase[kk_s]                                         # [16]
-    cb_prev = jnp.where(kk_s >= 1, cbase[jnp.maximum(kk_s - 1, 0)],
-                        jnp.zeros((LANES,), jnp.int32))
-    merge = jnp.where(j_col <= j_s, cb_stop[None, :], cb_prev[None, :])
-    merge = jnp.where(has_stop, merge, cbase[LANES - 1][None, :])
-    h_fin = jnp.where(arow, jnp.maximum(h_main,
-                                        jnp.maximum(merge - j_col, 0)), 0)
-
-    colmax = jnp.max(h_fin)
-    return h_fin, e_new, colmax
-
-
-def _striped_pass_single(read_codes, read_len, ref_codes, ref_len,
-                         terminate, ref_dir: int, n_cols: int):
-    """One pair, full pass.  Static: shapes, ref_dir, n_cols.
-
-    Returns (best, end_ref, end_read, max_column[n_cols], overflowed).
-    max_column is indexed by the actual column id i (only meaningful for
-    ref_dir == 0; the reverse pass ignores it).
-    """
-    lq = read_codes.shape[0]
-    S = (lq + LANES - 1) // LANES
-    seg_len = (read_len + LANES - 1) // LANES
-
-    j_col = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
-    k_col = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
-    pos = j_col + k_col * seg_len
-    pre_mask = pos < read_len
-    read_at = jnp.where(pre_mask,
-                        read_codes[jnp.clip(pos, 0, lq - 1)].astype(jnp.int32),
-                        4)
-    pad_profile = jnp.full((S, LANES), BIAS, jnp.int32)
+        flat = cond.reshape(LANES * S, P)
+        has_stop = jnp.any(flat, axis=0)
+        first = jnp.argmax(flat, axis=0).astype(jnp.int32)    # [P]
+        kk_s = first // S
+        j_s = first % S
+        oh_kk = kk_iota3 == kk_s[None, None, :]               # [16,1,P]
+        oh_kkp = kk_iota3 == (kk_s - 1)[None, None, :]
+        cb_stop = jnp.sum(jnp.where(oh_kk, cbase, 0), axis=0)   # [16,P]
+        cb_prev = jnp.sum(jnp.where(oh_kkp, cbase, 0), axis=0)
+        merge = jnp.where(j_col <= j_s[None, None, :],
+                          cb_stop[None], cb_prev[None])       # [S,16,P]
+        merge = jnp.where(has_stop[None, None, :], merge, cbase[LANES - 1])
+        h_fin = jnp.where(
+            arow, jnp.maximum(h_main, jnp.maximum(merge - j_col, 0)), 0)
+        colmax = jnp.max(h_fin, axis=(0, 1))
+        return h_fin, e_new, colmax
 
     def body(carry, t):
         h_prev, e_old, best, end_ref, snap, stopped, overflowed = carry
-        i = t if ref_dir == 0 else ref_len - 1 - t
+        if ref_dir == 0:
+            i = jnp.broadcast_to(t, (P,))
+            ref_base = ref_t[t]
+        else:
+            i = ref_len - 1 - t
+            ref_base = ref_t[t]   # ref_t pre-reversed per pair by the caller
         in_range = (i >= 0) & (i < ref_len)
         active = in_range & ~stopped
 
-        ref_base = ref_codes[jnp.clip(i, 0, ref_codes.shape[0] - 1)]
-        h_fin, e_new, colmax = _column_update(
-            h_prev, e_old, pre_mask, read_at, seg_len,
-            ref_base.astype(jnp.int32), pad_profile)
+        h_fin, e_new, colmax = column(h_prev, e_old, ref_base)
 
         improved = active & (colmax > best)
         ovf_now = improved & (colmax + BIAS >= SAT)
         take_end = improved & ~ovf_now
         best_n = jnp.where(improved, colmax, best)
         end_ref_n = jnp.where(take_end, i, end_ref)
-        snap_n = jnp.where(take_end, h_fin, snap)
-        # column writeback (the breaking column is still written)
+        snap_n = jnp.where(take_end[None, None, :], h_fin, snap)
         mc = jnp.where(active, colmax, 0)
         stopped_n = stopped | ovf_now | (active & (colmax == terminate))
-        h_out = jnp.where(active, h_fin, h_prev)
-        e_out = jnp.where(active, e_new, e_old)
+        h_out = jnp.where(active[None, None, :], h_fin, h_prev)
+        e_out = jnp.where(active[None, None, :], e_new, e_old)
+        ys = mc if want_max_column else jnp.int32(0)
         return ((h_out, e_out, best_n, end_ref_n, snap_n, stopped_n,
-                 overflowed | ovf_now),
-                (mc, jnp.where(active, i, -1)))
+                 overflowed | ovf_now), ys)
 
-    init = (jnp.zeros((S, LANES), jnp.int32), jnp.zeros((S, LANES), jnp.int32),
-            jnp.int32(0), jnp.int32(-1),
-            jnp.full((S, LANES), -1, jnp.int32),
-            jnp.bool_(False), jnp.bool_(False))
-    (h_prev, e_old, best, end_ref, snap, stopped, overflowed), \
-        (mc_vals, mc_idx) = jax.lax.scan(
-            body, init, jnp.arange(n_cols, dtype=jnp.int32))
-
-    if ref_dir == 0:
-        max_column = mc_vals  # column t == i for the forward pass
-    else:
-        max_column = jnp.zeros((n_cols,), jnp.int32)
-        max_column = max_column.at[jnp.clip(mc_idx, 0, n_cols - 1)].max(
-            jnp.where(mc_idx >= 0, mc_vals, 0))
+    init = (jnp.zeros((S, LANES, P), jnp.int32),
+            jnp.zeros((S, LANES, P), jnp.int32),
+            jnp.zeros((P,), jnp.int32), jnp.full((P,), -1, jnp.int32),
+            jnp.full((S, LANES, P), -1, jnp.int32),
+            jnp.zeros((P,), bool), jnp.zeros((P,), bool))
+    (_, _, best, end_ref, snap, _, overflowed), mc = jax.lax.scan(
+        body, init, jnp.arange(n_cols, dtype=jnp.int32))
 
     # end_read: smallest striped position holding `best` in the snapshot
-    # (ssw.c:344-350); inactive rows were snapped as -1 and never match.
-    pos_flat = pos.reshape(-1)
-    snap_flat = snap.reshape(-1)
-    cand = jnp.where(snap_flat == best, pos_flat, _BIG)
-    end_read = jnp.minimum(jnp.min(cand), read_len - 1)
+    # (ssw.c:344-350); inactive rows were snapped as -1 and never match a
+    # best > 0; an all-zero snapshot (best 0) reproduces the host's scan.
+    cand = jnp.where(snap == best[None, None, :], pos, _BIG)
+    read_len_m1 = jnp.max(jnp.where(pre_mask, pos, 0), axis=(0, 1))
+    end_read = jnp.minimum(jnp.min(cand, axis=(0, 1)), read_len_m1)
 
     overflowed = overflowed | (best + BIAS >= SAT)
     best = jnp.where(overflowed, SAT, best)
+    max_column = mc if want_max_column else None
     return best, end_ref, end_read, max_column, overflowed
+
+
+def _striped_layout(read_codes, read_len, lq):
+    """[P, LQ] reads -> striped [S, 16, P] code/pos/mask tensors."""
+    S = (lq + LANES - 1) // LANES
+    P = read_codes.shape[0]
+    seg_len = (read_len + LANES - 1) // LANES
+    j3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 0)
+    k3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 1)
+    pos = j3 + k3 * seg_len[None, None, :]
+    pre_mask = pos < read_len[None, None, :]
+    read_t = read_codes.astype(jnp.int32).T                    # [LQ, P]
+    read_at = jnp.take_along_axis(
+        read_t, jnp.clip(pos, 0, lq - 1).reshape(S * LANES, P),
+        axis=0).reshape(S, LANES, P)
+    read_at = jnp.where(pre_mask, read_at, 4)
+    return read_at, pre_mask, pos, seg_len
 
 
 @partial(jax.jit, static_argnames=("n_cols",))
@@ -217,27 +219,32 @@ def ssw_forward_batch(read_codes, read_len, ref_codes, ref_len, mask_len,
     ref_end2, overflowed.  Pairs with overflowed=True must be re-run on the
     host word-mode path (ssw_align falls back the same way).
     """
-    def one(rc, rl, fc, fl, ml):
-        best, end_ref, end_read, max_column, ovf = _striped_pass_single(
-            rc, rl, fc, fl, jnp.int32(SAT), 0, n_cols)
-        # second-best outside the masked window (byte quirk: second range
-        # starts one PAST the edge, ssw.c:367-381)
-        i_idx = jnp.arange(n_cols, dtype=jnp.int32)
-        lo = jnp.maximum(0, end_ref - ml)
-        hi = jnp.minimum(fl, end_ref + ml)
-        allowed = ((i_idx < lo) | (i_idx >= hi + 1)) & (i_idx < fl)
-        masked = jnp.where(allowed, max_column, -1)
-        s2 = jnp.max(masked)
-        ref_end2 = jnp.where(s2 > 0, jnp.argmax(masked).astype(jnp.int32), 0)
-        score2 = jnp.maximum(s2, 0)
-        # maskLen < 15 -> no second-best reported (ssw.c:385-392)
-        score2 = jnp.where(ml >= 15, score2, 0)
-        ref_end2 = jnp.where(ml >= 15, ref_end2, -1)
-        return best, end_ref, end_read, score2, ref_end2, ovf
+    read_len = read_len.astype(jnp.int32)
+    ref_len = ref_len.astype(jnp.int32)
+    mask_len = mask_len.astype(jnp.int32)
+    lq = read_codes.shape[1]
+    P = read_codes.shape[0]
+    read_at, pre_mask, pos, seg_len = _striped_layout(read_codes, read_len,
+                                                      lq)
+    ref_t = ref_codes.astype(jnp.int32).T[:n_cols]
+    best, end_ref, end_read, max_column, ovf = _pass_batched(
+        read_at, pre_mask, pos, seg_len, ref_t, ref_len,
+        jnp.full((P,), SAT, jnp.int32), 0, n_cols, True)
 
-    best, end_ref, end_read, score2, ref_end2, ovf = jax.vmap(one)(
-        read_codes, read_len.astype(jnp.int32), ref_codes,
-        ref_len.astype(jnp.int32), mask_len.astype(jnp.int32))
+    # second-best outside the masked window (byte quirk: second range starts
+    # one PAST the edge, ssw.c:367-381)
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (n_cols, 1), 0)
+    lo = jnp.maximum(0, end_ref - mask_len)[None, :]
+    hi = jnp.minimum(ref_len, end_ref + mask_len)[None, :]
+    allowed = ((i_idx < lo) | (i_idx >= hi + 1)) & (i_idx < ref_len[None, :])
+    masked = jnp.where(allowed, max_column, -1)
+    s2 = jnp.max(masked, axis=0)
+    ref_end2 = jnp.where(s2 > 0, jnp.argmax(masked, axis=0).astype(jnp.int32),
+                         0)
+    score2 = jnp.maximum(s2, 0)
+    # maskLen < 15 -> no second-best reported (ssw.c:385-392)
+    score2 = jnp.where(mask_len >= 15, score2, 0)
+    ref_end2 = jnp.where(mask_len >= 15, ref_end2, -1)
     return {"score1": best, "ref_end": end_ref, "query_end": end_read,
             "score2": score2, "ref_end2": ref_end2, "overflowed": ovf}
 
@@ -253,24 +260,62 @@ def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
     Returns dict of [P] arrays: ref_begin, query_begin, flag2 (score1 >
     rev_score, the reference's "missed small part" flag), overflowed.
     """
+    del read_len  # the reversed prefix length comes from query_end
+    score1 = score1.astype(jnp.int32)
+    ref_end = ref_end.astype(jnp.int32)
+    query_end = query_end.astype(jnp.int32)
     lq = read_codes.shape[1]
+    # reversed prefix: rev[t] = read[query_end - t] for t <= query_end
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (lq, 1), 0)
+    qe = query_end[None, :]
+    rev_t = jnp.take_along_axis(
+        read_codes.astype(jnp.int32).T, jnp.clip(qe - t_idx, 0, lq - 1),
+        axis=0)
+    rev_t = jnp.where(t_idx <= qe, rev_t, 4)                   # [LQ, P]
+    rl_rev = query_end + 1
+    fl_rev = ref_end + 1
 
-    def one(rc, rl, fc, s1, re_, qe):
-        t_idx = jnp.arange(lq, dtype=jnp.int32)
-        rev = jnp.where(t_idx <= qe,
-                        rc[jnp.clip(qe - t_idx, 0, lq - 1)], jnp.int8(4))
-        rl_rev = qe + 1
-        fl_rev = re_ + 1
-        best, end_ref, end_read, _mc, ovf = _striped_pass_single(
-            rev, rl_rev, fc, fl_rev, s1, 1, n_cols)
-        return end_ref, qe - end_read, s1 > best, ovf
+    S = (lq + LANES - 1) // LANES
+    P = read_codes.shape[0]
+    seg_len = (rl_rev + LANES - 1) // LANES
+    j3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 0)
+    k3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 1)
+    pos = j3 + k3 * seg_len[None, None, :]
+    pre_mask = pos < rl_rev[None, None, :]
+    read_at = jnp.take_along_axis(
+        rev_t, jnp.clip(pos, 0, lq - 1).reshape(S * LANES, P),
+        axis=0).reshape(S, LANES, P)
+    read_at = jnp.where(pre_mask, read_at, 4)
 
-    ref_begin, query_begin, flag2, ovf = jax.vmap(one)(
-        read_codes, read_len.astype(jnp.int32), ref_codes,
-        score1.astype(jnp.int32), ref_end.astype(jnp.int32),
-        query_end.astype(jnp.int32))
-    return {"ref_begin": ref_begin, "query_begin": query_begin,
-            "flag2": flag2, "overflowed": ovf}
+    # pre-reverse ref columns per pair: column t of the reverse scan reads
+    # ref[ref_end - t] (one gather here instead of one per column)
+    ref_tc = ref_codes.astype(jnp.int32).T[:n_cols]            # [LR, P]
+    tt = jax.lax.broadcasted_iota(jnp.int32, (n_cols, 1), 0)
+    ref_rev_t = jnp.take_along_axis(
+        ref_tc, jnp.clip(ref_end[None, :] - tt, 0, n_cols - 1), axis=0)
+    best, end_ref, end_read, _, ovf = _pass_batched(
+        read_at, pre_mask, pos, seg_len, ref_rev_t, fl_rev, score1, 1,
+        n_cols, False)
+    return {"ref_begin": end_ref, "query_begin": query_end - end_read,
+            "flag2": score1 > best, "overflowed": ovf}
+
+
+@partial(jax.jit, static_argnames=("n_cols",))
+def ssw_score_packed(read_codes, read_len, ref_codes, ref_len, mask_len,
+                     n_cols: int):
+    """Forward + reverse pass fused, ONE packed [9, P] int32 output (the
+    transport pays a large per-transfer cost, so everything comes back in a
+    single device->host fetch).  Rows: score1, ref_end, query_end, score2,
+    ref_end2, ref_begin, query_begin, flag2, overflowed(fwd|rev)."""
+    fwd = ssw_forward_batch(read_codes, read_len, ref_codes, ref_len,
+                            mask_len, n_cols)
+    rev = ssw_reverse_batch(read_codes, read_len, ref_codes, fwd["score1"],
+                            fwd["ref_end"], fwd["query_end"], n_cols)
+    return jnp.stack([
+        fwd["score1"], fwd["ref_end"], fwd["query_end"], fwd["score2"],
+        fwd["ref_end2"], rev["ref_begin"], rev["query_begin"],
+        rev["flag2"].astype(jnp.int32),
+        (fwd["overflowed"] | rev["overflowed"]).astype(jnp.int32)], axis=0)
 
 
 def ssw_score_batch(read_codes, read_len, ref_codes, ref_len, mask_len):
@@ -283,23 +328,18 @@ def ssw_score_batch(read_codes, read_len, ref_codes, ref_len, mask_len):
     word path for these pairs).
     """
     n_cols = int(ref_codes.shape[1])
-    fwd = ssw_forward_batch(
+    packed = np.asarray(ssw_score_packed(
         jnp.asarray(read_codes), jnp.asarray(read_len),
         jnp.asarray(ref_codes), jnp.asarray(ref_len),
-        jnp.asarray(mask_len), n_cols)
-    rev = ssw_reverse_batch(
-        jnp.asarray(read_codes), jnp.asarray(read_len),
-        jnp.asarray(ref_codes), fwd["score1"], fwd["ref_end"],
-        fwd["query_end"], n_cols)
-    out = {k: np.asarray(v) for k, v in {**fwd, **rev}.items()}
-    flag = np.where(out["flag2"], 2, 0).astype(np.int32)
-    fallback = np.asarray(fwd["overflowed"]) | np.asarray(rev["overflowed"])
-    degenerate = (out["score1"] == 0) | (out["ref_end"] < 0)
+        jnp.asarray(mask_len), n_cols))
+    fallback = packed[8].astype(bool)
+    degenerate = (packed[0] == 0) | (packed[1] < 0)
     return {
-        "score1": out["score1"], "score2": out["score2"],
-        "ref_end": out["ref_end"], "ref_end2": out["ref_end2"],
-        "query_end": out["query_end"], "ref_begin": out["ref_begin"],
-        "query_begin": out["query_begin"], "flag": flag,
+        "score1": packed[0], "score2": packed[3],
+        "ref_end": packed[1], "ref_end2": packed[4],
+        "query_end": packed[2], "ref_begin": packed[5],
+        "query_begin": packed[6],
+        "flag": np.where(packed[7] != 0, 2, 0).astype(np.int32),
         "degenerate": degenerate,
-        "host_fallback": np.asarray(fallback, dtype=bool),
+        "host_fallback": fallback,
     }

@@ -96,34 +96,55 @@ class RegionShardedMapper:
             stats={"probe_overflow": 0, "vote_overflow": 0})
         best_key = np.full(n, 2**62, dtype=np.int64)
 
+        # phase 1: ENQUEUE every region's device work without any host
+        # sync — async dispatch lets each region's device queue execute
+        # concurrently (replaces the serial per-region loop; reference
+        # analog: per-GPU private streams, multigpuminhasher.cuh:641-738)
+        pending = []
         for mapper, chroms, sub in self.mappers:
-            res = mapper.map_reads(read_bases.copy(), read_lengths.copy(),
-                                   emulate_read_key_drop=False)
-            out.stats["probe_overflow"] += res.stats["probe_overflow"]
-            out.stats["vote_overflow"] += res.stats["vote_overflow"]
-            mapped = res.orientation != shd.NONE
+            mapper.ensure_empty_drops()
+            all_bases, all_lens, all_valid, n_pad = \
+                mapper.stage_reads_device(read_bases, read_lengths)
+            packed_dev, ovf_dev, _ = mapper._map_reads_device(
+                all_bases, all_lens, all_valid, n_pad, opts.batchsize)
+            pending.append((packed_dev, ovf_dev, chroms, sub))
+
+        # phase 2: fetch per-region results (device work already done or
+        # in flight) and merge by the deterministic (hamming, global
+        # window ordinal) key
+        for packed_dev, ovf_dev, chroms, sub in pending:
+            packed = np.asarray(packed_dev)[:n]
+            ovf = np.asarray(ovf_dev)
+            out.stats["probe_overflow"] += int(ovf[0])
+            out.stats["vote_overflow"] += int(ovf[1])
+            ori = packed[:, 0].astype(np.int8)
+            ham = packed[:, 1]
+            shift = packed[:, 2]
+            lc = packed[:, 3]
+            pos = packed[:, 4]
+            gwin_local = packed[:, 5]
+            mapped = ori != shd.NONE
             chrom_map = np.array(chroms, dtype=np.int32)
             # local global_window_id -> genome-global window ordinal
             sub_bases = np.zeros(sub.num_chromosomes + 1, dtype=np.int64)
             for i in range(sub.num_chromosomes):
-                sub_bases[i + 1] = sub_bases[i] + sub.num_windows_in_chromosome(
-                    i, opts.kmer_length, opts.window_size)
-            lc = res.chromosome_id
+                sub_bases[i + 1] = sub_bases[i] + \
+                    sub.num_windows_in_chromosome(
+                        i, opts.kmer_length, opts.window_size)
             local_in_chrom = np.where(
-                mapped,
-                res.global_window_id.astype(np.int64) - sub_bases[lc], 0)
+                mapped, gwin_local.astype(np.int64) - sub_bases[lc], 0)
             gwin_global = np.where(
                 mapped,
                 self.chrom_gwin_base[chrom_map[lc]] + local_in_chrom, 2**62)
             key = np.where(mapped,
-                           (res.hamming.astype(np.int64) << 40) + gwin_global,
+                           (ham.astype(np.int64) << 40) + gwin_global,
                            2**62)
             better = key < best_key
             best_key = np.where(better, key, best_key)
-            out.orientation[better] = res.orientation[better]
-            out.hamming[better] = res.hamming[better]
-            out.shift[better] = res.shift[better]
-            out.position[better] = res.position[better]
+            out.orientation[better] = ori[better]
+            out.hamming[better] = ham[better]
+            out.shift[better] = shift[better]
+            out.position[better] = pos[better]
             out.chromosome_id[better] = chrom_map[lc][better]
             out.global_window_id[better] = gwin_global[better].astype(
                 np.uint32)

@@ -47,6 +47,18 @@ def make_mesh(data: int, table: int,
     return Mesh(devs, axis_names=("data", "table"))
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:
+        return shard_map(fn, check_rep=False, **kwargs)
+
+
 class ShardedCoarseMapper:
     """Table-sharded, data-parallel coarse mapper over a 2D mesh."""
 
@@ -54,17 +66,21 @@ class ShardedCoarseMapper:
         self.mesh = mesh
         self.opts = opts
         n_table = mesh.shape["table"]
-        assert opts.num_hash_functions % n_table == 0, (
-            "num_hash_functions must divide evenly over the table axis")
-        # build the single-device index host-side, then shard its tables
-        self.base = CoarseMapper(genome, opts)
-        idx = self.base.index
+        # 3N mode doubles the table count (CT + GA key spaces, engine.py)
+        self.n_tables = opts.num_hash_functions * (
+            2 if opts.three_n_seeding else 1)
+        assert self.n_tables % n_table == 0, (
+            "table count must divide evenly over the table axis")
+        # geometry only — the index is built per table shard below, so no
+        # device ever stages the full table set (the reference's
+        # MultiGpuMinhasher also inserts into each GPU's own tables,
+        # multigpuminhasher.cuh:391-483; contrast the reference's staging-
+        # free incremental build, gpuminhasherconstruction.cu:123-242)
+        self.base = CoarseMapper(genome, opts, build_index=False)
         table_spec = NamedSharding(mesh, P("table"))
         repl = NamedSharding(mesh, P())
-        self.keys = jax.device_put(idx.keys, table_spec)
-        self.offsets = jax.device_put(idx.offsets, table_spec)
-        self.values = jax.device_put(idx.values, table_spec)
-        self.num_keys = jax.device_put(idx.num_keys, table_spec)
+        self.keys, self.offsets, self.values, self.num_keys = \
+            self._build_index_sharded()
         self.genome_hi = jax.device_put(self.base.table.genome_hi, repl)
         self.genome_lo = jax.device_put(self.base.table.genome_lo, repl)
         self.win_pos = jax.device_put(self.base.table.win_pos, repl)
@@ -73,15 +89,79 @@ class ShardedCoarseMapper:
         self.chrom_len = jax.device_put(self.base.table.chrom_len, repl)
         self.hash_ids = jax.device_put(
             jnp.asarray(self.base.hash_ids), repl)
-        f = opts.num_hash_functions
+        f = self.n_tables
         self.dropped_keys = jax.device_put(
             jnp.full((f, 1), jnp.uint32(0xFFFFFFFF)), table_spec)
         self.dropped_num = jax.device_put(
             jnp.zeros((f,), dtype=jnp.int32), table_spec)
         self._step = self._build_step()
 
+    def _build_index_sharded(self, sig_batch: int = 4096):
+        """Per-shard device CSR build: the window stream is hashed in
+        superbatches, signatures land column-sharded over the "table" axis,
+        and each shard sorts/compacts ONLY its own tables under shard_map —
+        the full index never exists on any single device.
+        (Reference analog: per-GPU incremental inserts + local compaction,
+        gpuminhasherconstruction.cu:123-242, singlegpuminhasher.cuh:380-526.)
+        """
+        opts = self.opts
+        mesh = self.mesh
+        col_sh = NamedSharding(mesh, P(None, "table"))
+        repl = NamedSharding(mesh, P())
+        hash_ids = jnp.arange(opts.num_hash_functions, dtype=jnp.uint32)
+
+        sig_parts, valid_parts = [], []
+        for bases, lens, n in self.base.iter_window_superbatches(sig_batch):
+            bdev = jnp.asarray(bases)
+            ldev = jnp.asarray(lens)
+            if opts.three_n_seeding:
+                s_ct, v = minhash.minhash_signatures_chunked(
+                    jnp.where(bdev == 1, jnp.int8(3), bdev), ldev,
+                    opts.kmer_length, hash_ids, sig_batch, canonical=False)
+                s_ga, _ = minhash.minhash_signatures_chunked(
+                    jnp.where(bdev == 2, jnp.int8(0), bdev), ldev,
+                    opts.kmer_length, hash_ids, sig_batch, canonical=False)
+                s = jnp.concatenate([s_ct, s_ga], axis=1)     # [n, 2F]
+            else:
+                s, v = minhash.minhash_signatures_chunked(
+                    bdev, ldev, opts.kmer_length, hash_ids, sig_batch)
+            # only this (bounded) superbatch is ever resident unsharded
+            sig_parts.append(jax.device_put(s[:n], col_sh))
+            valid_parts.append(jax.device_put(v[:n], repl))
+
+        concat = jax.jit(lambda *xs: jnp.concatenate(xs, axis=0),
+                         out_shardings=col_sh)
+        concat_r = jax.jit(lambda *xs: jnp.concatenate(xs, axis=0),
+                           out_shardings=repl)
+        sigs = concat(*sig_parts) if len(sig_parts) > 1 else sig_parts[0]
+        valid = (concat_r(*valid_parts) if len(valid_parts) > 1
+                 else valid_parts[0])
+
+        def build_local(sigs_local, valid_repl):
+            return jax.vmap(mi._build_one_table_device,
+                            in_axes=(1, None))(sigs_local, valid_repl)
+
+        mapped = _shard_map(build_local, mesh,
+                            in_specs=(P(None, "table"), P()),
+                            out_specs=(P("table"),) * 4)
+        return jax.jit(mapped)(sigs, valid)
+
+    def index_memory_per_device(self) -> dict:
+        """Bytes of index shard data per device (accounting hook for the
+        no-full-index-staging invariant)."""
+        out = {}
+        for arr in (self.keys, self.offsets, self.values, self.num_keys):
+            for s in arr.addressable_shards:
+                d = str(s.device)
+                out[d] = out.get(d, 0) + int(np.prod(s.data.shape)) * \
+                    s.data.dtype.itemsize
+        return out
+
     def set_read_drops(self, read_sigs: np.ndarray,
                        read_valid: np.ndarray) -> None:
+        assert not self.opts.three_n_seeding, (
+            "read-key-drop emulation is a parity-mode feature (the 3N index "
+            "has no reference counterpart to emulate, see engine.map_reads)")
         dk, dn = mi.build_dropped_keys(
             read_sigs, read_valid, self.opts.max_results_per_map)
         table_spec = NamedSharding(self.mesh, P("table"))
@@ -100,14 +180,28 @@ class ShardedCoarseMapper:
             b, lr = read_bases.shape
             kcap = opts.candidates_per_read_cap
 
-            sigs, sig_valid = minhash.minhash_signatures(
-                read_bases, read_len, opts.kmer_length, hash_ids)
+            if opts.three_n_seeding:
+                # CT sigs of the read + GA sigs of its RC (engine.py:259-270)
+                from ..ops import encode
+                read_ct = jnp.where(read_bases == 1, jnp.int8(3), read_bases)
+                rc = encode.revcomp_bases(read_bases, read_len)
+                rc_ga = jnp.where(rc == 2, jnp.int8(0), rc)
+                sig_ct, sig_valid = minhash.minhash_signatures(
+                    read_ct, read_len, opts.kmer_length, hash_ids,
+                    canonical=False)
+                sig_ga, _ = minhash.minhash_signatures(
+                    rc_ga, read_len, opts.kmer_length, hash_ids,
+                    canonical=False)
+                sigs = jnp.concatenate([sig_ct, sig_ga], axis=1)   # [B, 2F]
+            else:
+                sigs, sig_valid = minhash.minhash_signatures(
+                    read_bases, read_len, opts.kmer_length, hash_ids)
             sig_valid = sig_valid & read_valid
 
             # probe only the local tables with the matching sig columns
             n_table = jax.lax.axis_size("table")
             t_idx = jax.lax.axis_index("table")
-            f_local = opts.num_hash_functions // n_table
+            f_local = self.n_tables // n_table
             local_sigs = jax.lax.dynamic_slice_in_dim(
                 sigs, t_idx * f_local, f_local, axis=1)
             cand_local, counts_local = mi.probe_tables(
@@ -141,11 +235,17 @@ class ShardedCoarseMapper:
                 max_ext_len=opts.window_size + opts.max_read_length,
                 max_read_len=lr,
                 max_hamming_percent=opts.max_hamming_percent)
-            res = shd.shd_pairs_packed(
-                genome_hi, genome_lo, jnp.int32(0), coff + loc.start,
-                loc.length, loc.left,
-                jnp.repeat(read_bases, kcap, axis=0), rl_rep, pair_valid,
-                params, three_n=False)
+            # per-read plane packing + pair-row gathers (the fast SHD path
+            # that took the single-chip engine 56k -> 114k reads/s)
+            hi0, lo0, hi1, lo1, pmask = shd.pack_read_planes(
+                read_bases, read_len, opts.three_n_seeding)
+            ridx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), kcap)
+            res = shd.shd_pairs_packed_planes(
+                genome_hi, genome_lo, coff + loc.start, loc.length, loc.left,
+                jnp.take(hi0, ridx, axis=0), jnp.take(lo0, ridx, axis=0),
+                jnp.take(hi1, ridx, axis=0), jnp.take(lo1, ridx, axis=0),
+                jnp.take(pmask, ridx, axis=0), rl_rep,
+                pair_valid, params, three_n=opts.three_n_seeding)
 
             ham = res.hamming.reshape(b, kcap)
             shf = res.shift.reshape(b, kcap)
@@ -176,24 +276,16 @@ class ShardedCoarseMapper:
             return (out_ori, out_ham, out_shift, out_chrom, out_pos,
                     out_gwin, overflow)
 
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
         data_spec = P("data")
         table_spec = P("table")
         repl = P()
-        kwargs = dict(
-            mesh=mesh,
+        mapped = _shard_map(
+            step, mesh,
             in_specs=(table_spec, table_spec, table_spec, table_spec,
                       table_spec, table_spec,
                       repl, repl, repl, repl, repl, repl, repl,
                       data_spec, data_spec, data_spec),
             out_specs=(data_spec,) * 6 + (repl,))
-        try:
-            mapped = shard_map(step, check_vma=False, **kwargs)
-        except TypeError:
-            mapped = shard_map(step, check_rep=False, **kwargs)
         return jax.jit(mapped)
 
     def map_batch(self, read_bases: jnp.ndarray, read_len: jnp.ndarray,

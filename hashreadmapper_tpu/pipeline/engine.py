@@ -87,7 +87,8 @@ def build_window_table(genome: Genome) -> WindowTable:
 
 class CoarseMapper:
     def __init__(self, genome: Genome, opts: ProgramOptions,
-                 sig_batch: int = 4096, load_index_from: str = ""):
+                 sig_batch: int = 4096, load_index_from: str = "",
+                 build_index: bool = True):
         opts.validate()
         self.opts = opts
         self.genome = genome
@@ -105,9 +106,43 @@ class CoarseMapper:
             self.table.win_pos = jnp.asarray(win_pos)
             self.table.win_chrom = jnp.asarray(win_chrom)
             self.table.num_windows = len(win_pos)
-        else:
+        elif build_index:
             self._build_window_index(sig_batch)
+        else:
+            # geometry only: the sharded mapper builds its own per-shard
+            # index (parallel/sharded.py), never staging it on one device
+            win_pos, win_chrom, _ = self._window_geometry()
+            self.table.win_pos = jnp.asarray(win_pos)
+            self.table.win_chrom = jnp.asarray(win_chrom)
+            self.table.num_windows = len(win_pos)
+            self.index = None
         self.dropped: Optional[tuple] = None
+
+    def iter_window_superbatches(self, sig_batch: int = 4096):
+        """Host-staged window base superbatches for index building.
+
+        Yields (bases [n_pad, ws] int8, lens [n_pad] int32, n) with n_pad a
+        sig_batch multiple; mirrors the reference's bounded-memory insert
+        loop (gpuminhasherconstruction.cu:123-242)."""
+        opts = self.opts
+        win_pos, win_chrom, win_len = self._window_geometry()
+        w = len(win_pos)
+        chrom_offset = np.asarray(self.table.chrom_offset)
+        concat = np.asarray(self.table.genome_concat)
+        ws = opts.window_size
+        superbatch = sig_batch * 64
+        for s0 in range(0, w, superbatch):
+            s1 = min(s0 + superbatch, w)
+            n = s1 - s0
+            n_pad = ((n + sig_batch - 1) // sig_batch) * sig_batch
+            gstart = chrom_offset[win_chrom[s0:s1]] + win_pos[s0:s1]
+            idx = gstart[:, None] + np.arange(ws)[None, :]
+            idx = np.minimum(idx, len(concat) - 1)
+            bases = np.zeros((n_pad, ws), dtype=np.int8)
+            bases[:n] = concat[idx]
+            lens = np.zeros(n_pad, dtype=np.int32)
+            lens[:n] = win_len[s0:s1]
+            yield bases, lens, n
 
     def save_index(self, path: str) -> None:
         """Window-index artifact (replaces --save-hashtables-to)."""
@@ -137,23 +172,9 @@ class CoarseMapper:
         self.table.win_chrom = jnp.asarray(win_chrom)
         self.table.num_windows = w
 
-        chrom_offset = np.asarray(self.table.chrom_offset)
-        concat = np.asarray(self.table.genome_concat)
-        ws = opts.window_size
         sig_parts = []
         valid_parts = []
-        superbatch = sig_batch * 64  # bounds host/device staging memory
-        for s0 in range(0, w, superbatch):
-            s1 = min(s0 + superbatch, w)
-            n = s1 - s0
-            n_pad = ((n + sig_batch - 1) // sig_batch) * sig_batch
-            gstart = chrom_offset[win_chrom[s0:s1]] + win_pos[s0:s1]
-            idx = gstart[:, None] + np.arange(ws)[None, :]
-            idx = np.minimum(idx, len(concat) - 1)
-            bases = np.zeros((n_pad, ws), dtype=np.int8)
-            bases[:n] = concat[idx]
-            lens = np.zeros(n_pad, dtype=np.int32)
-            lens[:n] = win_len[s0:s1]
+        for bases, lens, n in self.iter_window_superbatches(sig_batch):
             if opts.three_n_seeding:
                 bdev = jnp.asarray(bases)
                 ldev = jnp.asarray(lens)
@@ -347,6 +368,60 @@ class CoarseMapper:
         return packed, overflow
 
     # ------------------------------------------------------------------
+    def _map_reads_device(self, all_bases, all_lens, all_valid, n_pad: int,
+                          bsz: int, collect_candidates: bool = False):
+        """Dispatch all batches asynchronously; results stay ON DEVICE.
+
+        Returns (packed [n_pad, 6] device array, overflow [2] device array,
+        cand_batches).  Callers that drive several engines (region sharding)
+        enqueue every region's work before any host sync, so regions run
+        concurrently on their devices."""
+        packed_batches = []
+        overflow_batches = []
+        cand_batches = []
+        for start in range(0, n_pad, bsz):
+            outs = self._map_batch_at(
+                all_bases, all_lens, all_valid, jnp.int32(start), bsz,
+                self.dropped[0], self.dropped[1],
+                collect_candidates=collect_candidates)
+            if collect_candidates:
+                packed, overflow, c_ids, c_ori = outs
+                cand_batches.append((c_ids, c_ori))
+            else:
+                packed, overflow = outs
+            # keep results on device; fetch once at the end (the transport
+            # pays a large setup cost per distinct transfer shape)
+            packed_batches.append(packed)
+            overflow_batches.append(overflow)
+        all_packed_dev = jnp.concatenate(packed_batches, axis=0)
+        overflow_dev = jnp.stack(overflow_batches).sum(axis=0)
+        return all_packed_dev, overflow_dev, cand_batches
+
+    def stage_reads_device(self, read_bases: np.ndarray,
+                           read_lengths: np.ndarray):
+        """Upload a read set once, padded to a batchsize multiple."""
+        opts = self.opts
+        n, lr = read_bases.shape
+        if lr < opts.max_read_length:
+            read_bases = np.pad(
+                read_bases, ((0, 0), (0, opts.max_read_length - lr)))
+        bsz = opts.batchsize
+        n_pad = ((n + bsz - 1) // bsz) * bsz
+        all_bases = jnp.asarray(np.pad(
+            read_bases.astype(np.int8), ((0, n_pad - n), (0, 0))))
+        all_lens = jnp.asarray(np.pad(
+            read_lengths.astype(np.int32), (0, n_pad - n)))
+        all_valid = jnp.asarray(np.arange(n_pad) < n)
+        return all_bases, all_lens, all_valid, n_pad
+
+    def ensure_empty_drops(self) -> None:
+        if self.dropped is None:
+            f = self.opts.num_hash_functions * (
+                2 if self.opts.three_n_seeding else 1)
+            self.dropped = (
+                jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
+                jnp.zeros((f,), dtype=jnp.int32))
+
     def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray,
                   precomputed_sigs: Optional[np.ndarray] = None,
                   emulate_read_key_drop: bool = True,
@@ -415,27 +490,10 @@ class CoarseMapper:
         all_valid = jnp.asarray(
             np.arange(n_pad) < n)
 
-        packed_batches = []
-        overflow_batches = []
-        cand_batches = []
-        for start in range(0, n_pad, bsz):
-            outs = self._map_batch_at(
-                all_bases, all_lens, all_valid, jnp.int32(start), bsz,
-                self.dropped[0], self.dropped[1],
-                collect_candidates=collect_candidates)
-            if collect_candidates:
-                packed, overflow, c_ids, c_ori = outs
-                cand_batches.append((c_ids, c_ori))
-            else:
-                packed, overflow = outs
-            # keep results on device; fetch once at the end (the transport
-            # pays a large setup cost per distinct transfer shape)
-            packed_batches.append(packed)
-            overflow_batches.append(overflow)
-
-        all_packed = np.asarray(jnp.concatenate(packed_batches, axis=0))[:n]
-        all_overflow = np.asarray(
-            jnp.stack(overflow_batches).sum(axis=0))
+        all_packed_dev, overflow_dev, cand_batches = self._map_reads_device(
+            all_bases, all_lens, all_valid, n_pad, bsz, collect_candidates)
+        all_packed = np.asarray(all_packed_dev)[:n]
+        all_overflow = np.asarray(overflow_dev)
         if collect_candidates:
             self.last_candidates = (
                 np.asarray(jnp.concatenate([c for c, _ in cand_batches]))[:n],

@@ -281,9 +281,10 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     lens = reads.lengths.astype(np.int64)
     lq = max(1, reads.max_length)
     mat = reads.bases_matrix(lq)                    # [n, LQ] codes 0..3
-    idx = np.arange(lq)
-    valid = idx[None, :] < lens[:, None]
-    rev_idx = np.clip(lens[:, None] - 1 - idx[None, :], 0, lq - 1)
+    idx = np.arange(lq, dtype=np.int32)
+    lens32 = lens.astype(np.int32)
+    valid = idx[None, :] < lens32[:, None]
+    rev_idx = np.maximum(lens32[:, None] - 1 - idx[None, :], 0)
     rc_of = lambda m: np.where(valid, 3 - np.take_along_axis(m, rev_idx, 1), 0)
     # query = read, RC'd in place when orientation == RC (:420-423)
     fwd_mat = np.where((orientation == REVERSE_COMPLEMENT)[:, None],
@@ -295,21 +296,21 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     win = np.zeros((n, ws), np.uint8)
     win_rc = np.zeros((n, ws), np.uint8)
     wlens = np.zeros(n, np.int64)
-    iw = np.arange(ws)
+    iw = np.arange(ws, dtype=np.int32)
     for c in np.unique(chromosome_id):
         rows = np.nonzero(chromosome_id == c)[0]
         seq = genome.seqs_ascii[int(c)]
         seq_rc = genome_rc.seqs_ascii[int(c)]
         size = len(seq)
-        p = position[rows].astype(np.int64)
+        p = position[rows].astype(np.int32)      # window pos < chrom len
         wl = np.where(p + ws < size, ws, size - p)
         g = p[:, None] + iw[None, :]
         v = iw[None, :] < wl[:, None]
-        win[rows] = np.where(v, seq[np.clip(g, 0, size - 1)], 0)
-        aef = size - p - 1                       # RC slice start (:430-450)
+        win[rows] = np.where(v, seq[np.minimum(g, size - 1)], 0)
+        aef = (size - p - 1).astype(np.int32)    # RC slice start (:430-450)
         g2 = aef[:, None] + iw[None, :]
         win_rc[rows] = np.where(v & (g2 < size),
-                                seq_rc[np.clip(g2, 0, size - 1)], 0)
+                                seq_rc[np.minimum(g2, size - 1)], 0)
         wlens[rows] = wl
 
     q_ascii = _B4[fwd_mat]
@@ -425,6 +426,53 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             aa.flag = als[2 * i].flag
             aa.alignments[1] = als[2 * i + 1]
             aa.flag_rc = als[2 * i + 1].flag
+
+        # native batched rescoring (comparefk, mappinghandler.cu:747-766):
+        # alignment h=0 rescored against rc_query, h=1 against query (the
+        # reference's `if (!h)` swap)
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "hrm_rescore_batch"):
+            na = 2 * nm
+            qa = np.empty((na, lq), np.uint8)
+            qa[0::2] = rcq_ascii[m]
+            qa[1::2] = q_ascii[m]
+            qa_len = np.repeat(lens[m], 2).astype(np.int32)
+            ref_rows = np.repeat(win[m], 2, axis=0)
+            rcref_rows = np.repeat(win_rc[m], 2, axis=0)
+            wl2 = np.repeat(wlens[m], 2).astype(np.int32)
+            cigs = [als[k].cigar_string for k in range(na)]
+            cig_pool = "".join(cigs).encode("latin1")
+            cig_len = np.array([len(c) for c in cigs], np.int32)
+            cig_off = np.zeros(na, np.int64)
+            np.cumsum(cig_len[:-1], out=cig_off[1:])
+            sw_arr = np.array([als[k].sw_score for k in range(na)], np.int32)
+            nb_arr = np.array([als[k].sw_score_next_best for k in range(na)],
+                              np.int32)
+            block = 1 << 17   # keeps int32 pool offsets safe
+            conv = np.empty(na, np.int32)
+            for b0 in range(0, na, block):
+                b1 = min(b0 + block, na)
+                nb_ = b1 - b0
+                conv[b0:b1] = native.rescore_batch(
+                    qa[b0:b1].tobytes(),
+                    np.arange(nb_, dtype=np.int64) * lq, qa_len[b0:b1],
+                    ref_rows[b0:b1].tobytes(),
+                    np.arange(nb_, dtype=np.int64) * ws, wl2[b0:b1],
+                    rcref_rows[b0:b1].tobytes(),
+                    np.arange(nb_, dtype=np.int64) * ws, wl2[b0:b1],
+                    cig_pool[int(cig_off[b0]):int(cig_off[b1 - 1]
+                                                  + cig_len[b1 - 1])],
+                    cig_off[b0:b1] - cig_off[b0], cig_len[b0:b1],
+                    sw_arr[b0:b1], nb_arr[b0:b1],
+                    threads=max(1, opts.threads))
+            for i, r in enumerate(m):
+                aa = out[r]
+                for k in range(2):
+                    al = aa.alignments[k]
+                    al.sw_score = int(sw_arr[2 * i + k])
+                    al.sw_score_next_best = int(nb_arr[2 * i + k])
+                    aa.num_conversions[k] = int(conv[2 * i + k])
+            return out
 
     for aa in out:
         if aa.flag & 0x4:

@@ -42,8 +42,6 @@ class WindowStreamMapper:
     def __init__(self, read_bases: np.ndarray, read_lengths: np.ndarray,
                  opts: ProgramOptions):
         opts.validate()
-        assert not opts.three_n_seeding, (
-            "window-streaming mode implements the parity configuration")
         self.opts = opts
         n, lr = read_bases.shape
         if lr < opts.max_read_length:
@@ -59,16 +57,31 @@ class WindowStreamMapper:
         n_pad = ((n + chunk - 1) // chunk) * chunk
         rb = jnp.pad(self.read_bases, ((0, n_pad - n), (0, 0)))
         rl = jnp.pad(self.read_lengths, (0, n_pad - n))
-        sigs, valid = minhash.minhash_signatures_chunked(
-            rb, rl, opts.kmer_length, self.hash_ids, chunk)
+        if opts.three_n_seeding:
+            # 3N read index: tables 1..F keyed by the read's CT collapse,
+            # F+1..2F by its RC's GA collapse — the mirror of the inverted
+            # engine's window index (engine.py:158-168), so candidate pair
+            # sets are identical (signature equality is symmetric)
+            from ..ops import encode
+            rc = encode.revcomp_bases(rb, rl)
+            s_ct, valid = minhash.minhash_signatures_chunked(
+                jnp.where(rb == 1, jnp.int8(3), rb), rl,
+                opts.kmer_length, self.hash_ids, chunk, canonical=False)
+            s_ga, _ = minhash.minhash_signatures_chunked(
+                jnp.where(rc == 2, jnp.int8(0), rc), rl,
+                opts.kmer_length, self.hash_ids, chunk, canonical=False)
+            sigs = jnp.concatenate([s_ct, s_ga], axis=1)       # [n, 2F]
+        else:
+            sigs, valid = minhash.minhash_signatures_chunked(
+                rb, rl, opts.kmer_length, self.hash_ids, chunk)
         self.index = mi.build_csr_index_device(
             sigs[:n], valid[:n], opts.kmer_length,
             np.asarray(self.hash_ids))
         self.index.build_buckets()
-        # per-read plane packing, once (parity mode: no 3N collapse)
+        # per-read plane packing, once
         from ..ops import shd as shd_mod
         self.read_planes = shd_mod.pack_read_planes(
-            self.read_bases, self.read_lengths, False)
+            self.read_bases, self.read_lengths, opts.three_n_seeding)
 
     def _window_batch(self, genome_hi, genome_lo, chrom_goff, win_bases,
                       win_len, win_pos, chrom_len, win_valid):
@@ -93,15 +106,28 @@ class WindowStreamMapper:
         b = win_bases.shape[0]
         kcap = opts.candidates_per_read_cap
 
-        sigs, sig_valid = minhash.minhash_signatures(
-            win_bases, win_len, opts.kmer_length, hash_ids)
+        if opts.three_n_seeding:
+            s_ct, sig_valid = minhash.minhash_signatures(
+                jnp.where(win_bases == 1, jnp.int8(3), win_bases), win_len,
+                opts.kmer_length, hash_ids, canonical=False)
+            s_ga, _ = minhash.minhash_signatures(
+                jnp.where(win_bases == 2, jnp.int8(0), win_bases), win_len,
+                opts.kmer_length, hash_ids, canonical=False)
+            sigs = jnp.concatenate([s_ct, s_ga], axis=1)       # [B, 2F]
+        else:
+            sigs, sig_valid = minhash.minhash_signatures(
+                win_bases, win_len, opts.kmer_length, hash_ids)
         sig_valid = sig_valid & win_valid
+        # the lazy key-cap emulates the reference read-index GroupByKey drop
+        # (parity feature); the 3N config has no drop rule, matching the
+        # inverted engine (engine.map_reads disables it in 3N mode)
         cand, counts = mi.probe_tables(
             index_keys, index_offsets, index_values,
             index_num_keys, sigs, sig_valid, opts.probe_cap,
             bucket_start=bucket_start,
             probe_steps=self.index.probe_steps,
-            max_values_per_key=opts.max_results_per_map)
+            max_values_per_key=(0 if opts.three_n_seeding
+                                else opts.max_results_per_map))
         ids, _cnt, num_kept = mi.vote_candidates(
             cand, opts.min_table_hits, kcap)
 
@@ -126,7 +152,7 @@ class WindowStreamMapper:
             jnp.take(hi0, rid_c, axis=0), jnp.take(lo0, rid_c, axis=0),
             jnp.take(hi1, rid_c, axis=0), jnp.take(lo1, rid_c, axis=0),
             jnp.take(pmask, rid_c, axis=0), r_len, pair_valid, params,
-            three_n=False)
+            three_n=opts.three_n_seeding)
 
         out_rid = jnp.where(pair_valid & (res.orientation != shd.NONE),
                             rid_c, -1)

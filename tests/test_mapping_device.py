@@ -64,7 +64,7 @@ def _setup(seed=3, n_reads=80, chrom_len=5000, bs_rate=0.25):
     mat = np.zeros((n_reads, maxlen), np.uint8)
     for i, b in enumerate(reads):
         mat[i, :len(b)] = b
-    packed = pack_rows(mat, np.asarray(lengths, np.int32), maxlen)
+    packed = pack_rows(mat, np.asarray(lengths, np.int32), (maxlen + 15) // 16)
     store = ReadStorage(packed, np.asarray(lengths, np.int32),
                         np.zeros(n_reads, bool))
     opts = ProgramOptions(window_size=128, threads=2, max_read_length=128)

@@ -98,3 +98,34 @@ def test_native_fastx_robustness(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         list(native.read_fastx_native(str(p3), pitch=8))
+
+
+def test_myers_distance_multiblock_fuzz():
+    """Native multi-block Myers bit-vector NW distance == plain DP."""
+    import random
+
+    from hashreadmapper_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    lib = native.get_lib()
+
+    def dp(q, t):
+        m, n = len(q), len(t)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j - 1] + (q[i - 1] != t[j - 1]),
+                             prev[j] + 1, cur[j - 1] + 1)
+            prev = cur
+        return prev[n]
+
+    rng = random.Random(5)
+    for trial in range(150):
+        m = rng.randrange(0, 260)
+        n = rng.randrange(0, 260)
+        q = "".join(rng.choice("ACGT") for _ in range(m))
+        t = "".join(rng.choice("ACGT") for _ in range(n))
+        if trial % 3 == 0 and m and n:
+            t = (q + t)[:n]
+        assert lib.hrm_nw_distance(q.encode(), m, t.encode(), n) == dp(q, t)

@@ -82,3 +82,32 @@ def test_window_stream_respects_key_cap():
     np.testing.assert_array_equal(ws.orientation, eng.orientation)
     mapped = eng.orientation != 3
     np.testing.assert_array_equal(ws.position[mapped], eng.position[mapped])
+
+
+def test_window_stream_three_n_matches_engine():
+    """3N window-streaming orientation == 3N inverted engine."""
+    rng = random.Random(91)
+    chroms, bases, lens = _dataset(seed=91)
+    # bisulfite-convert the planted reads in place (C->T at 85%)
+    for i in range(len(lens)):
+        for j in range(lens[i]):
+            if bases[i, j] == 1 and rng.random() < 0.85:
+                bases[i, j] = 3
+    opts = ProgramOptions(
+        kmer_length=8, num_hash_functions=8, window_size=32,
+        min_table_hits=2, batchsize=16, max_hamming_percent=0.2,
+        probe_cap=128, candidates_per_read_cap=64, max_read_length=40,
+        three_n_seeding=True)
+    genome = Genome([f"c{i}" for i in range(len(chroms))], chroms)
+
+    eng = CoarseMapper(genome, opts).map_reads(bases.copy(), lens.copy())
+    assert int((eng.orientation != 3).sum()) > len(lens) // 4
+    ws = WindowStreamMapper(bases.copy(), lens.copy(), opts).map_genome(genome)
+
+    np.testing.assert_array_equal(ws.orientation, eng.orientation)
+    mapped = eng.orientation != 3
+    np.testing.assert_array_equal(ws.hamming[mapped], eng.hamming[mapped])
+    np.testing.assert_array_equal(ws.shift[mapped], eng.shift[mapped])
+    np.testing.assert_array_equal(ws.position[mapped], eng.position[mapped])
+    np.testing.assert_array_equal(ws.chromosome_id[mapped],
+                                  eng.chromosome_id[mapped])
