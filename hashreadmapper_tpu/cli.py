@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--probeCap", type=int, default=64)
     p.add_argument("--candidatesPerRead", type=int, default=32)
     p.add_argument("--maxReadLength", type=int, default=160)
+    p.add_argument("--regions", type=int, default=0,
+                   help="genome-region shards (0=auto; >2 Gbp genomes "
+                        "always shard)")
     return p
 
 
@@ -89,6 +92,7 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         probe_cap=args.probeCap,
         candidates_per_read_cap=args.candidatesPerRead,
         max_read_length=args.maxReadLength,
+        num_regions=args.regions,
     )
 
 

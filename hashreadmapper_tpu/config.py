@@ -94,6 +94,11 @@ class ProgramOptions:
     # Mesh axis sizes; None => single device.
     mesh_data: Optional[int] = None
     mesh_table: Optional[int] = None
+    # Genome-region sharding (parallel/region_sharded.py): 0 = auto (one
+    # region per device when the genome needs partitioning, else a single
+    # mapper); N>0 forces N regions.  Genomes >2 Gbp always route through
+    # regions (the int32 staged-gather limit of one mapper).
+    num_regions: int = 0
     # STEP 2 on device: run the striped-SW score passes as a batched device
     # kernel (ops/swdev.py), host does CIGAR-only finish.  Bit-identical to
     # the host path; falls back automatically when the native finish library

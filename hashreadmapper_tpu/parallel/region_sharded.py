@@ -1,27 +1,28 @@
 """Genome-region sharding: each device indexes a slice of the genome.
 
 The scaling mode for genomes whose window index exceeds one device's HBM
-(whole GRCh38: ~27.5M windows x 16 tables).  Chromosomes are binned into
-regions (balanced greedy by length); every device builds/holds the window
-index of ITS region only, read batches are replicated across regions, and
-the global best hit per read is the lexicographic minimum over
-(hamming, global window id) — an associative, deterministic reduce, so
-results are independent of the region count (SURVEY.md §5 "multi-host merge
-semantics" requirement) and EQUAL to the single-device engine's (binning
-whole chromosomes keeps every window's sequence, signature, and extension
-clamping bit-identical).
+(whole GRCh38: ~27.5M windows x 16 tables) and for genomes >2 Gbp (the
+int32 staged-gather limit of a single mapper).  The genome's window
+sequence is partitioned into contiguous regions — whole chromosomes when
+the chromosome granularity suffices, INTRA-chromosome window spans with
+read-length margins otherwise (parallel/segments.py) — every region's
+mapper builds/holds the window index of ITS segments only, read batches
+are replicated across regions, and the global best hit per read is the
+lexicographic minimum over (hamming, global window ordinal) — an
+associative, deterministic reduce, so results are independent of the
+region count (SURVEY.md §5 "multi-host merge semantics" requirement) and
+EQUAL to the single-device engine's (margins keep every window's
+sequence, signature, and extension clamping bit-identical).
 
 This realizes the reference's genome-streaming axis (SURVEY.md §2.3 last
 row) as a partition instead of a stream; communication is one small
 per-read-result merge per batch instead of the reference's per-batch P2P
-candidate broadcasts.  Intra-chromosome cuts (for genomes dominated by one
-chromosome) additionally need read-length margins at the cut points —
-planned, see PERF.md.
+candidate broadcasts.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional
 
 import jax
 import numpy as np
@@ -30,6 +31,12 @@ from ..config import ProgramOptions
 from ..io.genome import Genome
 from ..pipeline.engine import CoarseMapper, CoarseResults, SENTINEL
 from ..ops import shd
+from .segments import (Segment, partition_windows, regions_for_base_cap,
+                       whole_chromosome_segments)
+
+# a single mapper's staged bases must index in int32; leave headroom for
+# margins and plane packing
+SINGLE_MAPPER_BASE_CAP = 2**31 - 2**27
 
 
 def bin_chromosomes(genome: Genome, n_regions: int) -> List[List[int]]:
@@ -47,25 +54,58 @@ def bin_chromosomes(genome: Genome, n_regions: int) -> List[List[int]]:
     return bins
 
 
+def plan_regions(genome: Genome, opts: ProgramOptions, n_regions: int,
+                 partition: str = "auto") -> List[List[Segment]]:
+    """Region plan as per-region segment lists.
+
+    partition: 'chromosome' bins whole chromosomes (requires n_regions <=
+    num chromosomes), 'window' cuts the global window sequence into equal
+    contiguous spans, 'auto' picks chromosome binning when it is feasible
+    AND every bin fits the staged-base cap, else window cuts (possibly
+    with MORE regions than asked, to respect the cap)."""
+    from .segments import staged_bases
+    margin = opts.max_read_length
+
+    def chrom_plan():
+        bins = bin_chromosomes(genome, n_regions)
+        return [whole_chromosome_segments(genome, opts, b) for b in bins]
+
+    if partition == "chromosome":
+        assert n_regions <= genome.num_chromosomes, (
+            "chromosome partition bins whole chromosomes; use "
+            "partition='window' for more regions than chromosomes")
+        return chrom_plan()
+    if partition == "window":
+        regions = partition_windows(genome, opts, n_regions)
+    else:
+        assert partition == "auto", partition
+        if n_regions <= genome.num_chromosomes:
+            regions = chrom_plan()
+        else:
+            regions = partition_windows(genome, opts, n_regions)
+    if any(staged_bases(genome, opts, r, margin) >= SINGLE_MAPPER_BASE_CAP
+           for r in regions):
+        regions = regions_for_base_cap(
+            genome, opts, SINGLE_MAPPER_BASE_CAP, margin, n_min=n_regions)
+    return regions
+
+
 class RegionShardedMapper:
     """One CoarseMapper per region + deterministic cross-region merge.
 
-    Per-region mappers are placed on distinct devices via
-    jax.default_device; the merge is a pure argmin reduction (host-side
-    here; its collective form over a "region" mesh axis is a drop-in for
-    multi-host pods)."""
+    Per-region mappers are placed on devices round-robin via
+    jax.default_device (regions > devices is allowed: several regions
+    share a device and run from its queue); the merge is a pure argmin
+    reduction (host-side here; its collective form over a "region" mesh
+    axis is parallel/multihost.py::merge_region_results_across_hosts)."""
 
     def __init__(self, genome: Genome, opts: ProgramOptions, n_regions: int,
-                 devices=None):
-        assert n_regions <= genome.num_chromosomes, (
-            "region sharding bins whole chromosomes; use fewer regions "
-            "than chromosomes (intra-chromosome cuts are planned)")
+                 devices=None, partition: str = "auto"):
         self.opts = opts
         self.genome = genome
-        self.n_regions = n_regions
-        devs = (jax.devices()[:n_regions] if devices is None else devices)
-        assert len(devs) >= n_regions
-        self.bins = bin_chromosomes(genome, n_regions)
+        self.regions = plan_regions(genome, opts, n_regions, partition)
+        self.n_regions = len(self.regions)
+        devs = list(jax.devices()) if devices is None else list(devices)
 
         # global window-ordinal offset of each chromosome
         self.chrom_gwin_base = np.zeros(genome.num_chromosomes, dtype=np.int64)
@@ -75,12 +115,10 @@ class RegionShardedMapper:
             t += genome.num_windows_in_chromosome(
                 c, opts.kmer_length, opts.window_size)
 
-        self.mappers = []
-        for r, chroms in enumerate(self.bins):
-            sub = Genome([genome.names[c] for c in chroms],
-                         [genome.sequence_str(c) for c in chroms])
-            with jax.default_device(devs[r]):
-                self.mappers.append((CoarseMapper(sub, opts), chroms, sub))
+        self.mappers: List[CoarseMapper] = []
+        for r, segs in enumerate(self.regions):
+            with jax.default_device(devs[r % len(devs)]):
+                self.mappers.append(CoarseMapper(genome, opts, segments=segs))
 
     def map_reads(self, read_bases: np.ndarray,
                   read_lengths: np.ndarray) -> CoarseResults:
@@ -95,24 +133,27 @@ class RegionShardedMapper:
             global_window_id=np.full(n, SENTINEL, dtype=np.uint32),
             stats={"probe_overflow": 0, "vote_overflow": 0})
         best_key = np.full(n, 2**62, dtype=np.int64)
+        # region-sharded global ordinals exceed uint32 for >2 Gbp genomes;
+        # expose the full-width ordinal alongside the uint32 field
+        out_gwin64 = np.full(n, -1, dtype=np.int64)
 
         # phase 1: ENQUEUE every region's device work without any host
         # sync — async dispatch lets each region's device queue execute
         # concurrently (replaces the serial per-region loop; reference
         # analog: per-GPU private streams, multigpuminhasher.cuh:641-738)
         pending = []
-        for mapper, chroms, sub in self.mappers:
+        for mapper in self.mappers:
             mapper.ensure_empty_drops()
             all_bases, all_lens, all_valid, n_pad = \
                 mapper.stage_reads_device(read_bases, read_lengths)
             packed_dev, ovf_dev, _ = mapper._map_reads_device(
                 all_bases, all_lens, all_valid, n_pad, opts.batchsize)
-            pending.append((packed_dev, ovf_dev, chroms, sub))
+            pending.append((packed_dev, ovf_dev, mapper))
 
         # phase 2: fetch per-region results (device work already done or
         # in flight) and merge by the deterministic (hamming, global
         # window ordinal) key
-        for packed_dev, ovf_dev, chroms, sub in pending:
+        for packed_dev, ovf_dev, mapper in pending:
             packed = np.asarray(packed_dev)[:n]
             ovf = np.asarray(ovf_dev)
             out.stats["probe_overflow"] += int(ovf[0])
@@ -120,22 +161,21 @@ class RegionShardedMapper:
             ori = packed[:, 0].astype(np.int8)
             ham = packed[:, 1]
             shift = packed[:, 2]
-            lc = packed[:, 3]
-            pos = packed[:, 4]
-            gwin_local = packed[:, 5]
+            seg_idx = packed[:, 3]            # segment index in this mapper
+            pos = packed[:, 4]                # TRUE chromosome position
+            gwin_local = packed[:, 5]         # mapper-local window ordinal
             mapped = ori != shd.NONE
-            chrom_map = np.array(chroms, dtype=np.int32)
-            # local global_window_id -> genome-global window ordinal
-            sub_bases = np.zeros(sub.num_chromosomes + 1, dtype=np.int64)
-            for i in range(sub.num_chromosomes):
-                sub_bases[i + 1] = sub_bases[i] + \
-                    sub.num_windows_in_chromosome(
-                        i, opts.kmer_length, opts.window_size)
-            local_in_chrom = np.where(
-                mapped, gwin_local.astype(np.int64) - sub_bases[lc], 0)
+            segs = mapper.segments
+            seg_chrom = np.array([s.chrom_id for s in segs], dtype=np.int32)
+            seg_gwin0 = np.array(
+                [self.chrom_gwin_base[s.chrom_id] + s.win_start
+                 for s in segs], dtype=np.int64)
+            seg_local0 = mapper.seg_local_base[:-1]
+            seg_c = np.where(mapped, seg_idx, 0)
+            in_seg = np.where(
+                mapped, gwin_local.astype(np.int64) - seg_local0[seg_c], 0)
             gwin_global = np.where(
-                mapped,
-                self.chrom_gwin_base[chrom_map[lc]] + local_in_chrom, 2**62)
+                mapped, seg_gwin0[seg_c] + in_seg, 2**62)
             key = np.where(mapped,
                            (ham.astype(np.int64) << 40) + gwin_global,
                            2**62)
@@ -145,7 +185,9 @@ class RegionShardedMapper:
             out.hamming[better] = ham[better]
             out.shift[better] = shift[better]
             out.position[better] = pos[better]
-            out.chromosome_id[better] = chrom_map[lc][better]
-            out.global_window_id[better] = gwin_global[better].astype(
-                np.uint32)
+            out.chromosome_id[better] = seg_chrom[seg_c][better]
+            out_gwin64[better] = gwin_global[better]
+            out.global_window_id[better] = (
+                gwin_global[better] & 0xFFFFFFFF).astype(np.uint32)
+        out.global_window_id64 = out_gwin64
         return out

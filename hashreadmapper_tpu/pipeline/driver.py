@@ -49,12 +49,28 @@ def run_pipeline(opts: ProgramOptions,
         with timers.phase("build_minhasher"):
             if opts.max_read_length < reads.sequence_length_upper_bound():
                 opts.max_read_length = reads.sequence_length_upper_bound()
-            mapper = CoarseMapper(
-                genome, opts, load_index_from=opts.load_hashtables_from)
-            if opts.save_hashtables_to:
-                mapper.save_index(opts.save_hashtables_to)
-        print(f"window index: {mapper.index.memory_bytes()} bytes, "
-              f"{mapper.table.num_windows} windows")
+            total_bases = sum(genome.chromosome_length(c)
+                              for c in range(genome.num_chromosomes))
+            from ..parallel.region_sharded import (
+                RegionShardedMapper, SINGLE_MAPPER_BASE_CAP)
+            if opts.num_regions > 1 or total_bases >= SINGLE_MAPPER_BASE_CAP:
+                import jax
+                n_regions = opts.num_regions or max(
+                    len(jax.devices()),
+                    -(-total_bases // SINGLE_MAPPER_BASE_CAP))
+                mapper = RegionShardedMapper(genome, opts, n_regions)
+                idx_bytes = sum(m.index.memory_bytes()
+                                for m in mapper.mappers)
+                n_windows = sum(m.table.num_windows for m in mapper.mappers)
+                print(f"window index: {idx_bytes} bytes, {n_windows} windows "
+                      f"in {mapper.n_regions} regions")
+            else:
+                mapper = CoarseMapper(
+                    genome, opts, load_index_from=opts.load_hashtables_from)
+                if opts.save_hashtables_to:
+                    mapper.save_index(opts.save_hashtables_to)
+                print(f"window index: {mapper.index.memory_bytes()} bytes, "
+                      f"{mapper.table.num_windows} windows")
 
         with timers.phase("process genome"):
             bases = reads.bases_matrix(opts.max_read_length).astype(np.int8)

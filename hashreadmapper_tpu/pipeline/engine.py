@@ -58,19 +58,51 @@ class CoarseResults:
     position: np.ndarray           # [N] int32
     global_window_id: np.ndarray   # [N] uint32 (SENTINEL when unmapped)
     stats: Dict[str, int]
+    # full-width window ordinal (region-sharded >2 Gbp genomes exceed
+    # uint32); None when the mapper's ordinals fit global_window_id
+    global_window_id64: Optional[np.ndarray] = None
 
 
-def build_window_table(genome: Genome) -> WindowTable:
-    offsets = np.zeros(genome.num_chromosomes, dtype=np.int64)
-    total = 0
-    for c in range(genome.num_chromosomes):
-        offsets[c] = total
-        total += genome.chromosome_length(c)
+def build_window_table(genome: Genome, segments=None,
+                       opts: Optional[ProgramOptions] = None) -> WindowTable:
+    """Stage the genome (or only `segments` of it, plus margins) on device.
+
+    With segments, chrom_offset holds VIRTUAL per-segment offsets
+    (staged-start minus true start position), so gathers of
+    `chrom_offset[seg] + true_position` land in the staged bases while the
+    extension math keeps seeing true positions and true chromosome lengths
+    (bit-identical to an uncut mapper; parallel/segments.py docstring).
+    """
+    if segments is not None:
+        from ..parallel.segments import segment_base_span
+        margin = opts.max_read_length
+        offsets = np.zeros(len(segments), dtype=np.int64)
+        lens = np.zeros(len(segments), dtype=np.int32)
+        parts = []
+        cursor = 0
+        for s, seg in enumerate(segments):
+            lo, hi = segment_base_span(genome, opts, seg, margin)
+            parts.append(genome.bases[seg.chrom_id][lo:hi].astype(np.int8))
+            offsets[s] = cursor - lo
+            lens[s] = genome.chromosome_length(seg.chrom_id)
+            cursor += hi - lo
+        total = cursor
+        chrom_lens = lens
+    else:
+        offsets = np.zeros(genome.num_chromosomes, dtype=np.int64)
+        total = 0
+        for c in range(genome.num_chromosomes):
+            offsets[c] = total
+            total += genome.chromosome_length(c)
+        parts = [genome.bases[c].astype(np.int8)
+                 for c in range(genome.num_chromosomes)]
+        chrom_lens = np.array(
+            [genome.chromosome_length(c)
+             for c in range(genome.num_chromosomes)], dtype=np.int32)
     assert total < 2**31, (
-        "genomes >2 Gbp need the chromosome-tiled gather (planned); "
-        "GRCh38-chr1 scale is supported")
-    concat = np.concatenate([genome.bases[c].astype(np.int8)
-                             for c in range(genome.num_chromosomes)])
+        "a single mapper stages <2 Gbp; larger genomes go through "
+        "RegionShardedMapper's window partition (parallel/region_sharded.py)")
+    concat = np.concatenate(parts)
     from ..ops import shd_pallas
     concat_dev = jnp.asarray(concat)
     g_hi, g_lo = shd_pallas.pack_genome_planes(concat_dev)
@@ -79,22 +111,29 @@ def build_window_table(genome: Genome) -> WindowTable:
         genome_concat=concat_dev,
         win_pos=None, win_chrom=None,  # filled by build_engine
         chrom_offset=jnp.asarray(offsets.astype(np.int32)),
-        chrom_len=jnp.asarray(np.array(
-            [genome.chromosome_length(c) for c in range(genome.num_chromosomes)],
-            dtype=np.int32)),
+        chrom_len=jnp.asarray(chrom_lens),
         num_windows=0)
 
 
 class CoarseMapper:
     def __init__(self, genome: Genome, opts: ProgramOptions,
                  sig_batch: int = 4096, load_index_from: str = "",
-                 build_index: bool = True):
+                 build_index: bool = True, segments=None):
         opts.validate()
         self.opts = opts
         self.genome = genome
+        # segments: map only these window spans (parallel/segments.py);
+        # results report SEGMENT ids in chromosome_id and LOCAL window
+        # ordinals in global_window_id — RegionShardedMapper converts back.
+        self.segments = segments
+        if segments is not None:
+            self.seg_local_base = np.zeros(len(segments) + 1, dtype=np.int64)
+            for i, seg in enumerate(segments):
+                self.seg_local_base[i + 1] = (
+                    self.seg_local_base[i] + seg.num_windows())
         self.hash_ids = np.arange(opts.num_hash_functions, dtype=np.uint32)
         self._hash_ids_dev = jnp.asarray(self.hash_ids)
-        self.table = build_window_table(genome)
+        self.table = build_window_table(genome, segments, opts)
         if load_index_from:
             # index artifact (replaces --load-hashtables-from,
             # reference: gpuminhasherconstruction.cu:311-319)
@@ -154,13 +193,26 @@ class CoarseMapper:
     def _window_geometry(self):
         k, ws = self.opts.kmer_length, self.opts.window_size
         pos_l, chrom_l, len_l = [], [], []
-        for c in range(self.genome.num_chromosomes):
-            clen = self.genome.chromosome_length(c)
-            n = self.genome.num_windows_in_chromosome(c, k, ws)
-            p = np.arange(n, dtype=np.int64) * self.opts.window_stride
-            pos_l.append(p.astype(np.int32))
-            chrom_l.append(np.full(n, c, dtype=np.int32))
-            len_l.append(np.minimum(clen - p, ws).astype(np.int32))
+        if self.segments is not None:
+            # positions/lengths are the TRUE chromosome values; the
+            # "chromosome" axis indexes segments (virtual offsets in the
+            # window table make the gathers land in the staged bases)
+            for s, seg in enumerate(self.segments):
+                clen = self.genome.chromosome_length(seg.chrom_id)
+                n = seg.num_windows()
+                p = (seg.win_start + np.arange(n, dtype=np.int64)) \
+                    * self.opts.window_stride
+                pos_l.append(p.astype(np.int32))
+                chrom_l.append(np.full(n, s, dtype=np.int32))
+                len_l.append(np.minimum(clen - p, ws).astype(np.int32))
+        else:
+            for c in range(self.genome.num_chromosomes):
+                clen = self.genome.chromosome_length(c)
+                n = self.genome.num_windows_in_chromosome(c, k, ws)
+                p = np.arange(n, dtype=np.int64) * self.opts.window_stride
+                pos_l.append(p.astype(np.int32))
+                chrom_l.append(np.full(n, c, dtype=np.int32))
+                len_l.append(np.minimum(clen - p, ws).astype(np.int32))
         return (np.concatenate(pos_l), np.concatenate(chrom_l),
                 np.concatenate(len_l))
 
