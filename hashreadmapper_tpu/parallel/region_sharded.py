@@ -90,6 +90,39 @@ def plan_regions(genome: Genome, opts: ProgramOptions, n_regions: int,
     return regions
 
 
+def region_key_payload(mapper: CoarseMapper, packed: np.ndarray,
+                       chrom_gwin_base: np.ndarray):
+    """Merge key + payload for one region's packed per-read results.
+
+    packed: [N, 6] rows (ori, ham, shift, segment idx, pos, local gwin)
+    from the region mapper's device step.  Returns
+      key      [N] int64: (hamming << 40) | global window ordinal
+               (2**62 when unmapped) — the associative merge key,
+      payload  [N, 5] int32: ori, ham, shift, TRUE chrom id, pos,
+      gwin_global [N] int64 (-1 when unmapped).
+    Shared by the host-side merge below and the multi-host collective
+    (parallel/multihost.py::merge_region_results)."""
+    ori = packed[:, 0]
+    ham = packed[:, 1]
+    mapped = ori != shd.NONE
+    segs = mapper.segments
+    seg_chrom = np.array([s.chrom_id for s in segs], dtype=np.int32)
+    seg_gwin0 = np.array(
+        [chrom_gwin_base[s.chrom_id] + s.win_start for s in segs],
+        dtype=np.int64)
+    seg_local0 = mapper.seg_local_base[:-1]
+    seg_c = np.where(mapped, packed[:, 3], 0)
+    in_seg = np.where(
+        mapped, packed[:, 5].astype(np.int64) - seg_local0[seg_c], 0)
+    gwin_global = np.where(mapped, seg_gwin0[seg_c] + in_seg, -1)
+    key = np.where(mapped, (ham.astype(np.int64) << 40) + gwin_global,
+                   np.int64(2**62))
+    payload = np.stack(
+        [ori, ham, packed[:, 2], seg_chrom[seg_c] * mapped, packed[:, 4]],
+        axis=1).astype(np.int32)
+    return key, payload, gwin_global
+
+
 class RegionShardedMapper:
     """One CoarseMapper per region + deterministic cross-region merge.
 
@@ -158,34 +191,15 @@ class RegionShardedMapper:
             ovf = np.asarray(ovf_dev)
             out.stats["probe_overflow"] += int(ovf[0])
             out.stats["vote_overflow"] += int(ovf[1])
-            ori = packed[:, 0].astype(np.int8)
-            ham = packed[:, 1]
-            shift = packed[:, 2]
-            seg_idx = packed[:, 3]            # segment index in this mapper
-            pos = packed[:, 4]                # TRUE chromosome position
-            gwin_local = packed[:, 5]         # mapper-local window ordinal
-            mapped = ori != shd.NONE
-            segs = mapper.segments
-            seg_chrom = np.array([s.chrom_id for s in segs], dtype=np.int32)
-            seg_gwin0 = np.array(
-                [self.chrom_gwin_base[s.chrom_id] + s.win_start
-                 for s in segs], dtype=np.int64)
-            seg_local0 = mapper.seg_local_base[:-1]
-            seg_c = np.where(mapped, seg_idx, 0)
-            in_seg = np.where(
-                mapped, gwin_local.astype(np.int64) - seg_local0[seg_c], 0)
-            gwin_global = np.where(
-                mapped, seg_gwin0[seg_c] + in_seg, 2**62)
-            key = np.where(mapped,
-                           (ham.astype(np.int64) << 40) + gwin_global,
-                           2**62)
+            key, payload, gwin_global = region_key_payload(
+                mapper, packed, self.chrom_gwin_base)
             better = key < best_key
             best_key = np.where(better, key, best_key)
-            out.orientation[better] = ori[better]
-            out.hamming[better] = ham[better]
-            out.shift[better] = shift[better]
-            out.position[better] = pos[better]
-            out.chromosome_id[better] = seg_chrom[seg_c][better]
+            out.orientation[better] = payload[better, 0].astype(np.int8)
+            out.hamming[better] = payload[better, 1]
+            out.shift[better] = payload[better, 2]
+            out.chromosome_id[better] = payload[better, 3]
+            out.position[better] = payload[better, 4]
             out_gwin64[better] = gwin_global[better]
             out.global_window_id[better] = (
                 gwin_global[better] & 0xFFFFFFFF).astype(np.uint32)
