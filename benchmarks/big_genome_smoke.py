@@ -36,7 +36,9 @@ def main():
         else 2_300_000_000
     n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     read_len = 100
-    n_chrom = 4
+    # 3 chromosomes with a region count that is not a multiple of 3
+    # guarantees INTRA-chromosome cuts (the capability under test)
+    n_chrom = 3
     clen = total_bases // n_chrom
     rng = np.random.default_rng(0)
 

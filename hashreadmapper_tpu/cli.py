@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tempdir", default=".")
     p.add_argument("-p", "--showProgress", action="store_true")
     p.add_argument("-q", "--useQualityScores", action="store_true")
+    p.add_argument("--qualityScoreBits", type=int, default=8,
+                   choices=[1, 2, 8],
+                   help="stored bits per quality score (reference: "
+                        "options.hpp:37)")
     p.add_argument("--replicateGpuData", action="store_true")
     p.add_argument("--threeN", action="store_true",
                    help="bisulfite-aware 3N seeding (dual CT/GA indexes)")
@@ -87,6 +91,7 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         tempdirectory=args.tempdir,
         show_progress=args.showProgress,
         use_quality_scores=args.useQualityScores,
+        quality_score_bits=args.qualityScoreBits,
         replicate_index=args.replicateGpuData,
         three_n_seeding=args.threeN,
         probe_cap=args.probeCap,

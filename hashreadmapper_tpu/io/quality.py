@@ -42,6 +42,18 @@ class QualityStore:
             codes = (phred >= _THRESH_1BIT).astype(np.int32)
             self._rows.append(self._pack(codes, 1))
 
+    def append_batch(self, raw: np.ndarray, lengths: np.ndarray) -> None:
+        """Bulk append from a [N, pitch] raw phred+33 uint8 matrix (0-padded
+        rows; all-zero rows — FASTA records — store as 'I'*len, the same
+        default the python ingest uses for quality-less records)."""
+        for i in range(raw.shape[0]):
+            ln = int(lengths[i])
+            row = raw[i, :ln]
+            if ln and row[0] == 0:
+                self.append("I" * ln)
+            else:
+                self.append(row.tobytes().decode("latin1"))
+
     @staticmethod
     def _pack(codes: np.ndarray, bits: int) -> np.ndarray:
         per = 8 // bits
@@ -73,3 +85,26 @@ class QualityStore:
 
     def memory_bytes(self) -> int:
         return sum(r.nbytes for r in self._rows)
+
+    @property
+    def num_reads(self) -> int:
+        return len(self._rows)
+
+    # --- artifact (de)serialization: concatenated rows + offsets ---
+
+    def to_arrays(self):
+        data = (np.concatenate(self._rows) if self._rows
+                else np.zeros(0, dtype=np.uint8))
+        offsets = np.zeros(len(self._rows) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in self._rows], out=offsets[1:])
+        lengths = np.asarray(self._lengths, dtype=np.int32)
+        return data, offsets, lengths
+
+    @classmethod
+    def from_arrays(cls, bits: int, data: np.ndarray, offsets: np.ndarray,
+                    lengths: np.ndarray) -> "QualityStore":
+        qs = cls(int(bits))
+        qs._rows = [data[offsets[i]:offsets[i + 1]]
+                    for i in range(len(offsets) - 1)]
+        qs._lengths = [int(x) for x in lengths]
+        return qs

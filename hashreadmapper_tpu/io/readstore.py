@@ -82,11 +82,13 @@ class ReadStorage:
     """In-memory packed read store."""
 
     def __init__(self, packed: np.ndarray, lengths: np.ndarray,
-                 ambiguous: np.ndarray, names: Optional[List[str]] = None):
+                 ambiguous: np.ndarray, names: Optional[List[str]] = None,
+                 qualities=None):
         self.packed = packed            # [N, W] uint32
         self.lengths = lengths          # [N] int32
         self.ambiguous = ambiguous      # [N] bool
         self.names = names
+        self.qualities = qualities      # Optional[QualityStore]
 
     @property
     def num_reads(self) -> int:
@@ -111,22 +113,41 @@ class ReadStorage:
                             int(self.lengths[read_id]))[0]
         return "".join("ACGT"[b] for b in bases)
 
+    def get_quality_str(self, read_id: int) -> str:
+        """Stored (possibly re-binned) quality, or '' when not stored."""
+        if self.qualities is None:
+            return ""
+        return self.qualities.get(read_id)
+
     # --- binary artifacts ---
 
     def save(self, path: str) -> None:
+        extra = {}
+        if self.qualities is not None:
+            qd, qo, ql = self.qualities.to_arrays()
+            extra = {"qual_bits": np.int32(self.qualities.bits),
+                     "qual_data": qd, "qual_offsets": qo, "qual_lengths": ql}
         np.savez_compressed(
             path, packed=self.packed, lengths=self.lengths,
-            ambiguous=self.ambiguous)
+            ambiguous=self.ambiguous, **extra)
 
     @classmethod
     def load(cls, path: str) -> "ReadStorage":
         data = np.load(path)
-        return cls(data["packed"], data["lengths"], data["ambiguous"])
+        qualities = None
+        if "qual_bits" in data:
+            from .quality import QualityStore
+            qualities = QualityStore.from_arrays(
+                int(data["qual_bits"]), data["qual_data"],
+                data["qual_offsets"], data["qual_lengths"])
+        return cls(data["packed"], data["lengths"], data["ambiguous"],
+                   qualities=qualities)
 
     @classmethod
     def from_files(cls, paths: Iterable[str], max_read_length: int = 0,
                    keep_names: bool = False, paired: bool = False,
-                   use_native: bool = True) -> "ReadStorage":
+                   use_native: bool = True,
+                   quality_bits: int = 0) -> "ReadStorage":
         """Ingest FASTA/FASTQ(.gz) files.
 
         Single-end: files concatenated in order (reference MultiInputReader,
@@ -136,6 +157,10 @@ class ReadStorage:
 
         The native zlib parser (native/fastx.cpp) is used when built and
         keep_names is False; it applies the same round-robin N replacement.
+
+        quality_bits > 0 stores FASTQ qualities compressed to 1/2/8 bits
+        (reference: include/qualityscorecompression.hpp, enabled by
+        useQualityScores + qualityScoreBits; FASTA records store 'I'*len).
         """
         paths = list(paths)
         if paired:
@@ -144,7 +169,8 @@ class ReadStorage:
         if use_native and not keep_names and not (paired and len(paths) == 2):
             from .. import native
             if native.available():
-                return cls._from_files_native(paths, max_read_length)
+                return cls._from_files_native(paths, max_read_length,
+                                              quality_bits)
 
         def _iter_records():
             if paired and len(paths) == 2:
@@ -165,6 +191,10 @@ class ReadStorage:
 
         seqs: List[bytes] = []
         names: List[str] = []
+        qualities = None
+        if quality_bits:
+            from .quality import QualityStore
+            qualities = QualityStore(quality_bits)
         maxlen = 0
         for rec in _iter_records():
             s = rec.sequence.encode("ascii")
@@ -172,6 +202,8 @@ class ReadStorage:
             maxlen = max(maxlen, len(s))
             if keep_names:
                 names.append(rec.name)
+            if qualities is not None:
+                qualities.append(rec.quality or "I" * len(s))
         if max_read_length:
             assert maxlen <= max_read_length, (
                 f"read of length {maxlen} exceeds max_read_length")
@@ -184,22 +216,32 @@ class ReadStorage:
         bases, ambiguous, _ = preprocess_batch(raw, 0)
         pitch = max(1, (maxlen + BASES_PER_WORD - 1) // BASES_PER_WORD)
         packed = pack_rows(bases, lengths, pitch)
-        return cls(packed, lengths, ambiguous, names if keep_names else None)
+        return cls(packed, lengths, ambiguous, names if keep_names else None,
+                   qualities=qualities)
 
     @classmethod
-    def _from_files_native(cls, paths: List[str],
-                           max_read_length: int) -> "ReadStorage":
+    def _from_files_native(cls, paths: List[str], max_read_length: int,
+                           quality_bits: int = 0) -> "ReadStorage":
         from .. import native
 
         pitch_bases = max(max_read_length, 256)
+        qualities = None
+        if quality_bits:
+            from .quality import QualityStore
+            qualities = QualityStore(quality_bits)
         parts = []
         for path in paths:
-            for bases, lengths, amb in native.read_fastx_native(
-                    path, pitch=pitch_bases):
+            for out in native.read_fastx_native(
+                    path, pitch=pitch_bases,
+                    with_qualities=bool(quality_bits)):
+                bases, lengths, amb = out[:3]
                 parts.append((bases, lengths, amb))
+                if qualities is not None:
+                    qualities.append_batch(out[3], lengths)
         if not parts:
             empty = np.zeros((0, 1), dtype=np.uint32)
-            return cls(empty, np.zeros(0, np.int32), np.zeros(0, bool))
+            return cls(empty, np.zeros(0, np.int32), np.zeros(0, bool),
+                       qualities=qualities)
         bases = np.concatenate([p[0] for p in parts])
         lengths = np.concatenate([p[1] for p in parts])
         ambiguous = np.concatenate([p[2] for p in parts])
@@ -208,4 +250,4 @@ class ReadStorage:
             assert maxlen <= max_read_length
         pitch = max(1, (maxlen + BASES_PER_WORD - 1) // BASES_PER_WORD)
         packed = pack_rows(bases[:, :maxlen].astype(np.uint8), lengths, pitch)
-        return cls(packed, lengths, ambiguous)
+        return cls(packed, lengths, ambiguous, qualities=qualities)

@@ -105,6 +105,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.c_char_p]
+        lib.hrm_fastx_next_batch_q.restype = ctypes.c_int
+        lib.hrm_fastx_next_batch_q.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.c_char_p]
         _lib = lib
     except OSError:
         _lib = None
@@ -148,8 +153,11 @@ def nw_align_native(query: str, target: str):
     return dist, buf.value.decode("latin1")
 
 
-def read_fastx_native(path: str, pitch: int, batch: int = 65536):
-    """Yields (bases [n, pitch] int8, lengths [n], ambiguous [n]) batches."""
+def read_fastx_native(path: str, pitch: int, batch: int = 65536,
+                      with_qualities: bool = False):
+    """Yields (bases [n, pitch] int8, lengths [n], ambiguous [n]) batches;
+    with_qualities appends a [n, pitch] uint8 raw phred+33 matrix (all-zero
+    rows for FASTA records)."""
     import numpy as np
 
     lib = get_lib()
@@ -161,16 +169,28 @@ def read_fastx_native(path: str, pitch: int, batch: int = 65536):
             bases = np.zeros((batch, pitch), dtype=np.int8)
             lengths = np.zeros(batch, dtype=np.int32)
             amb = np.zeros(batch, dtype=np.uint8)
-            n = lib.hrm_fastx_next_batch(
-                h, batch, pitch,
-                bases.ctypes.data_as(ctypes.c_char_p),
-                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                amb.ctypes.data_as(ctypes.c_char_p))
+            if with_qualities:
+                quals = np.zeros((batch, pitch), dtype=np.uint8)
+                n = lib.hrm_fastx_next_batch_q(
+                    h, batch, pitch,
+                    bases.ctypes.data_as(ctypes.c_char_p),
+                    lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    amb.ctypes.data_as(ctypes.c_char_p),
+                    quals.ctypes.data_as(ctypes.c_char_p))
+            else:
+                n = lib.hrm_fastx_next_batch(
+                    h, batch, pitch,
+                    bases.ctypes.data_as(ctypes.c_char_p),
+                    lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    amb.ctypes.data_as(ctypes.c_char_p))
             if n < 0:
                 raise ValueError(f"malformed FASTA/FASTQ: {path}")
             if n == 0:
                 break
-            yield bases[:n], lengths[:n], amb[:n].astype(bool)
+            if with_qualities:
+                yield bases[:n], lengths[:n], amb[:n].astype(bool), quals[:n]
+            else:
+                yield bases[:n], lengths[:n], amb[:n].astype(bool)
     finally:
         lib.hrm_fastx_close(h)
 

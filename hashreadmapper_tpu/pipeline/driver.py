@@ -36,7 +36,9 @@ def run_pipeline(opts: ProgramOptions,
                     from ..config import SequencePairType
                     reads = ReadStorage.from_files(
                         opts.inputfiles,
-                        paired=opts.pair_type == SequencePairType.PAIRED_END)
+                        paired=opts.pair_type == SequencePairType.PAIRED_END,
+                        quality_bits=(opts.quality_score_bits
+                                      if opts.use_quality_scores else 0))
                 if opts.save_binary_reads_to:
                     reads.save(opts.save_binary_reads_to)
         print(f"gpureadstorage: occupied memory: {reads.packed.nbytes}")

@@ -55,6 +55,11 @@ class AlignerArguments:
     alignments: Optional[List[sw.Alignment]] = None
     num_conversions: Optional[List[int]] = None
     mask_len: int = 15
+    # stored quality aligned with `query` (reversed when orientation == RC);
+    # empty = reference parity ('*' in SAM).  Opt-in via useQualityScores —
+    # the reference parses the flag but always writes '*'
+    # (mappinghandler.cu:196-293); emitting real QUAL exceeds it.
+    qual: str = ""
 
 
 def _three_n(s: str) -> str:
@@ -172,15 +177,24 @@ def run_cssw(genome: Genome, genome_rc: Genome,
     to the serial host path below (tests/test_mapping_device.py).
     """
     from .. import native
+    out = None
     if (getattr(opts, "step2_device", False) and reads.num_reads > 0
             and native.available()):
         try:
-            return _run_cssw_device(genome, genome_rc, orientation, position,
-                                    chromosome_id, reads, opts)
+            out = _run_cssw_device(genome, genome_rc, orientation, position,
+                                   chromosome_id, reads, opts)
         except ImportError:
             pass  # no jax -> host path
-    return _run_cssw_host(genome, genome_rc, orientation, position,
-                          chromosome_id, reads, opts)
+    if out is None:
+        out = _run_cssw_host(genome, genome_rc, orientation, position,
+                             chromosome_id, reads, opts)
+    if opts.use_quality_scores and reads.qualities is not None:
+        for aa in out:
+            q = reads.get_quality_str(aa.read_id)
+            aa.qual = (q[::-1]
+                       if orientation[aa.read_id] == REVERSE_COMPLEMENT
+                       else q)
+    return out
 
 
 def _run_cssw_host(genome: Genome, genome_rc: Genome,
@@ -517,7 +531,8 @@ def print_to_sam(mappingout: List[AlignerArguments], genome: Genome,
                 unmapped += 1
                 tag = str(aa.flag)
             fh.write(f"{aa.read_id}\t{samflag}\t{rname}\t{pos}\t{mapq}\t"
-                     f"{cig}\t{aa.ref}\t\t0\t{aa.query}\t*\t{tag}\t\n")
+                     f"{cig}\t{aa.ref}\t\t0\t{aa.query}\t"
+                     f"{aa.qual or '*'}\t{tag}\t\n")
     return {"mapped": mapped, "unmapped": unmapped}
 
 

@@ -66,6 +66,9 @@ class EdlibHelper:
     num_conversions_rc: int = 0
     position: int = 0
     chromosome_id: int = 0
+    # stored quality aligned with query_original (reversed when RC);
+    # empty = reference parity ('*' in SAM)
+    qual: str = ""
 
 
 def _count_conversions(query: str, ref: str, rc_ref: str, cigar: str) -> int:
@@ -148,6 +151,12 @@ def run_edlib(genome: Genome, genome_rc: Genome,
             eh.query_original, eh.target_original, eh.target_rc, eh.cigar)
         eh.num_conversions_rc = _count_conversions(
             eh.query_rc, eh.target_original, eh.target_rc, eh.cigar_rc)
+    if opts.use_quality_scores and reads.qualities is not None:
+        for eh in out:
+            q = reads.get_quality_str(eh.read_id)
+            eh.qual = (q[::-1]
+                       if orientation[eh.read_id] == REVERSE_COMPLEMENT
+                       else q)
     return out
 
 
@@ -190,5 +199,6 @@ def print_to_edlib_sam(edlibout: List[EdlibHelper], genome: Genome,
                 unmapped += 1
                 tag = str(eh.flag)
             fh.write(f"{eh.read_id}\t{samflag}\t{rname}\t{pos}\t{mapq}\t"
-                     f"{cig}\t=\t\t0\t{eh.query_original}\t*\t{tag}\t\n")
+                     f"{cig}\t=\t\t0\t{eh.query_original}\t"
+                     f"{eh.qual or '*'}\t{tag}\t\n")
     return {"mapped": mapped, "unmapped": unmapped}

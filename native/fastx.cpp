@@ -88,15 +88,17 @@ void hrm_fastx_close(void* handle) {
 }
 
 // Reads up to max_reads records.  bases: [max_reads * pitch] int8 codes
-// (0..3, pads 0); lengths: [max_reads]; ambiguous: [max_reads] (0/1).
+// (0..3, pads 0); lengths: [max_reads]; ambiguous: [max_reads] (0/1);
+// quals (optional, may be null): [max_reads * pitch] raw phred+33 chars
+// (0-filled; FASTA records leave their row all-zero).
 // Returns the number of records read (0 = EOF), or -1 on malformed input /
 // read longer than pitch.
-int hrm_fastx_next_batch(void* handle, int max_reads, int pitch,
-                         int8_t* bases, int32_t* lengths,
-                         uint8_t* ambiguous) {
+int hrm_fastx_next_batch_q(void* handle, int max_reads, int pitch,
+                           int8_t* bases, int32_t* lengths,
+                           uint8_t* ambiguous, uint8_t* quals) {
     Reader* r = (Reader*)handle;
     int count = 0;
-    std::string line, seq;
+    std::string line, seq, qual;
     while (count < max_reads) {
         if (r->have_pending) {
             line = r->pending_line;
@@ -105,6 +107,7 @@ int hrm_fastx_next_batch(void* handle, int max_reads, int pitch,
             break;
         }
         if (line.empty()) continue;
+        qual.clear();
         if (line[0] == '>') {
             seq.clear();
             while (r->getline(&line)) {
@@ -119,11 +122,17 @@ int hrm_fastx_next_batch(void* handle, int max_reads, int pitch,
             if (!r->getline(&seq)) return -1;
             if (!r->getline(&line) || line.empty() || line[0] != '+')
                 return -1;
-            if (!r->getline(&line)) return -1;  // quality (discarded)
+            if (!r->getline(&qual)) return -1;
+            if (qual.size() != seq.size()) return -1;
         } else {
             return -1;
         }
         if ((int)seq.size() > pitch) return -1;
+        if (quals) {
+            uint8_t* qrow = quals + (size_t)count * pitch;
+            std::memset(qrow, 0, pitch);
+            std::memcpy(qrow, qual.data(), qual.size());
+        }
         int8_t* row = bases + (size_t)count * pitch;
         std::memset(row, 0, pitch);
         bool amb = false;
@@ -141,6 +150,13 @@ int hrm_fastx_next_batch(void* handle, int max_reads, int pitch,
         count++;
     }
     return count;
+}
+
+int hrm_fastx_next_batch(void* handle, int max_reads, int pitch,
+                         int8_t* bases, int32_t* lengths,
+                         uint8_t* ambiguous) {
+    return hrm_fastx_next_batch_q(handle, max_reads, pitch, bases, lengths,
+                                  ambiguous, nullptr);
 }
 
 }  // extern "C"
