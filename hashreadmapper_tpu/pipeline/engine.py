@@ -115,6 +115,32 @@ def build_window_table(genome: Genome, segments=None,
         num_windows=0)
 
 
+def plan_num_hash_functions(opts: ProgramOptions, num_windows: int) -> int:
+    """Size the table count to the --memHashtables budget.
+
+    The reference adds hash tables only while they fit the memory budget
+    and errors under mustUseAllHashfunctions if the request cannot be met
+    (reference: src/gpu/gpuminhasherconstruction.cu:123-147, options
+    src/options.cpp:113-140).  Upper-bound estimate per table: every
+    window contributes one value (4B) and at worst a unique key
+    (4B key + 4B offset + ~4B bucket/metadata)."""
+    f = opts.num_hash_functions
+    if opts.memory_for_hashtables <= 0:
+        return f
+    tables_per_func = 2 if opts.three_n_seeding else 1
+    per_table = 16 * max(num_windows, 1) + 4096
+    max_f = int(opts.memory_for_hashtables // (per_table * tables_per_func))
+    if max_f < f:
+        if opts.must_use_all_hash_functions:
+            raise MemoryError(
+                f"memHashtables budget fits only {max_f} of "
+                f"{f} hash tables but mustUseAllHashfunctions is set")
+        max_f = max(1, max_f)
+        print(f"memHashtables: can use {max_f} of {f} hash tables")
+        return max_f
+    return f
+
+
 class CoarseMapper:
     def __init__(self, genome: Genome, opts: ProgramOptions,
                  sig_batch: int = 4096, load_index_from: str = "",
@@ -131,7 +157,12 @@ class CoarseMapper:
             for i, seg in enumerate(segments):
                 self.seg_local_base[i + 1] = (
                     self.seg_local_base[i] + seg.num_windows())
-        self.hash_ids = np.arange(opts.num_hash_functions, dtype=np.uint32)
+        n_win_total = (sum(s.num_windows() for s in segments)
+                       if segments is not None else
+                       genome.total_num_windows(opts.kmer_length,
+                                                opts.window_size))
+        self.hash_ids = np.arange(
+            plan_num_hash_functions(opts, n_win_total), dtype=np.uint32)
         self._hash_ids_dev = jnp.asarray(self.hash_ids)
         self.table = build_window_table(genome, segments, opts)
         if load_index_from:
@@ -466,9 +497,41 @@ class CoarseMapper:
         all_valid = jnp.asarray(np.arange(n_pad) < n)
         return all_bases, all_lens, all_valid, n_pad
 
+    def resident_bytes(self) -> int:
+        """Device bytes held by the index + staged genome."""
+        t = self.table
+        total = (self.index.memory_bytes() if self.index is not None else 0)
+        for a in (t.genome_concat, t.genome_hi, t.genome_lo, t.win_pos,
+                  t.win_chrom, t.chrom_offset, t.chrom_len):
+            if a is not None:
+                total += a.nbytes
+        return total
+
+    def read_pool_size(self, n: int, read_len: int, bsz: int) -> int:
+        """Reads per device-pool chunk under the --memTotal budget.
+
+        The reference sizes its device read storage to the leftover of
+        memoryTotalLimit after the tables and spills the rest to host,
+        streamed in (multigpureadstorage.cuh host overflow + 2-stream
+        insert loop).  Here: reads beyond the pool stay in host numpy and
+        stream through a bounded device pool."""
+        limit = self.opts.memory_total_limit
+        n_pad = ((n + bsz - 1) // bsz) * bsz
+        if limit <= 0:
+            return n_pad
+        budget = limit - self.resident_bytes()
+        # per staged read: int8 bases row + length + valid + packed result
+        # row + SHD read-plane scratch (~4 int32 words per 32 bases per
+        # orientation)
+        per_read = (self.opts.max_read_length + 4 + 1 + 24
+                    + 16 * ((self.opts.max_read_length + 31) // 32))
+        pool = int(budget // per_read)
+        pool = max(bsz, (pool // bsz) * bsz)
+        return min(pool, n_pad)
+
     def ensure_empty_drops(self) -> None:
         if self.dropped is None:
-            f = self.opts.num_hash_functions * (
+            f = len(self.hash_ids) * (
                 2 if self.opts.three_n_seeding else 1)
             self.dropped = (
                 jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
@@ -525,31 +588,55 @@ class CoarseMapper:
 
         if self.dropped is None:
             # no read-key dropping: empty mask
-            f = opts.num_hash_functions * (2 if opts.three_n_seeding else 1)
+            f = len(self.hash_ids) * (2 if opts.three_n_seeding else 1)
             self.dropped = (
                 jnp.full((f, 1), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32),
                 jnp.zeros((f,), dtype=jnp.int32))
 
         bsz = opts.batchsize
-        # upload ALL reads once; per-batch slicing happens on device (the
-        # transport pays ~tens of ms latency PER transfer, so per-batch H2D
-        # dominated the step time)
-        n_pad = ((n + bsz - 1) // bsz) * bsz
-        all_bases = jnp.asarray(np.pad(
-            read_bases.astype(np.int8), ((0, n_pad - n), (0, 0))))
-        all_lens = jnp.asarray(np.pad(
-            read_lengths.astype(np.int32), (0, n_pad - n)))
-        all_valid = jnp.asarray(
-            np.arange(n_pad) < n)
+        # upload reads in device-pool chunks; per-batch slicing happens on
+        # device (the transport pays ~tens of ms latency PER transfer, so
+        # per-batch H2D dominated the step time).  With no --memTotal limit
+        # the pool is the whole read set (one upload); under a limit the
+        # read set streams through a bounded pool, with the fetch of chunk
+        # i overlapping the compute of chunk i+1 (async dispatch) — the
+        # reference's 2-stream insert-loop overlap
+        # (gpuminhasherconstruction.cu:89-108, 168-214).
+        pool_n = self.read_pool_size(n, lr, bsz)
+        packed_parts = []
+        overflow_parts = []
+        cand_all = []
+        pending = None
 
-        all_packed_dev, overflow_dev, cand_batches = self._map_reads_device(
-            all_bases, all_lens, all_valid, n_pad, bsz, collect_candidates)
-        all_packed = np.asarray(all_packed_dev)[:n]
-        all_overflow = np.asarray(overflow_dev)
+        def fetch(chunk):
+            packed_dev, overflow_dev, chunk_n, cand_batches = chunk
+            packed_parts.append(np.asarray(packed_dev)[:chunk_n])
+            overflow_parts.append(np.asarray(overflow_dev))
+            if collect_candidates:
+                cand_all.append((
+                    np.asarray(jnp.concatenate(
+                        [c for c, _ in cand_batches]))[:chunk_n],
+                    np.asarray(jnp.concatenate(
+                        [o for _, o in cand_batches]))[:chunk_n]))
+
+        for c0 in range(0, n, pool_n):
+            c1 = min(c0 + pool_n, n)
+            all_bases, all_lens, all_valid, n_pad = self.stage_reads_device(
+                read_bases[c0:c1], read_lengths[c0:c1])
+            packed_dev, overflow_dev, cand_batches = self._map_reads_device(
+                all_bases, all_lens, all_valid, n_pad, bsz,
+                collect_candidates)
+            if pending is not None:
+                fetch(pending)
+            pending = (packed_dev, overflow_dev, c1 - c0, cand_batches)
+        fetch(pending)
+        all_packed = (np.concatenate(packed_parts)
+                      if len(packed_parts) > 1 else packed_parts[0])
+        all_overflow = np.stack(overflow_parts).sum(axis=0)
         if collect_candidates:
             self.last_candidates = (
-                np.asarray(jnp.concatenate([c for c, _ in cand_batches]))[:n],
-                np.asarray(jnp.concatenate([o for _, o in cand_batches]))[:n])
+                np.concatenate([c for c, _ in cand_all]),
+                np.concatenate([o for _, o in cand_all]))
         return CoarseResults(
             orientation=all_packed[:, 0].astype(np.int8),
             hamming=all_packed[:, 1].astype(np.int32),
