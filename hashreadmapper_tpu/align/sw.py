@@ -53,7 +53,7 @@ GAP_OPEN = 3
 GAP_EXTEND = 1
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class Alignment:
     """Mirrors StripedSmithWaterman::Alignment after CalculateNumberMismatch."""
     sw_score: int = 0

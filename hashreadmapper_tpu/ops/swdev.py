@@ -318,20 +318,21 @@ def ssw_score_packed(read_codes, read_len, ref_codes, ref_len, mask_len,
         (fwd["overflowed"] | rev["overflowed"]).astype(jnp.int32)], axis=0)
 
 
-def ssw_score_batch(read_codes, read_len, ref_codes, ref_len, mask_len):
-    """Full device score pass: forward + reverse, host-side convenience.
-
-    All inputs numpy; returns a dict of numpy arrays with score1, score2,
-    ref_end, ref_end2, query_end, ref_begin, query_begin, flag
-    (0 ok / 2 begin-missing, matching s_align flag semantics) and
-    host_fallback (bool: byte-mode saturation -> caller must use the host
-    word path for these pairs).
-    """
+def ssw_score_dispatch(read_codes, read_len, ref_codes, ref_len, mask_len):
+    """Enqueue one score chunk; returns the device [9, P] packed result
+    WITHOUT synchronizing — callers dispatch every chunk first, then
+    collect, so H2D/compute/D2H of successive chunks overlap (the
+    reference's 2-stream pipelining, gpuminhasherconstruction.cu:89-108)."""
     n_cols = int(ref_codes.shape[1])
-    packed = np.asarray(ssw_score_packed(
+    return ssw_score_packed(
         jnp.asarray(read_codes), jnp.asarray(read_len),
         jnp.asarray(ref_codes), jnp.asarray(ref_len),
-        jnp.asarray(mask_len), n_cols))
+        jnp.asarray(mask_len), n_cols)
+
+
+def ssw_score_collect(packed_dev):
+    """Fetch + unpack one dispatched chunk (see ssw_score_dispatch)."""
+    packed = np.asarray(packed_dev)
     fallback = packed[8].astype(bool)
     degenerate = (packed[0] == 0) | (packed[1] < 0)
     return {
@@ -343,3 +344,16 @@ def ssw_score_batch(read_codes, read_len, ref_codes, ref_len, mask_len):
         "degenerate": degenerate,
         "host_fallback": fallback,
     }
+
+
+def ssw_score_batch(read_codes, read_len, ref_codes, ref_len, mask_len):
+    """Full device score pass: forward + reverse, host-side convenience.
+
+    All inputs numpy; returns a dict of numpy arrays with score1, score2,
+    ref_end, ref_end2, query_end, ref_begin, query_begin, flag
+    (0 ok / 2 begin-missing, matching s_align flag semantics) and
+    host_fallback (bool: byte-mode saturation -> caller must use the host
+    word path for these pairs).
+    """
+    return ssw_score_collect(ssw_score_dispatch(
+        read_codes, read_len, ref_codes, ref_len, mask_len))

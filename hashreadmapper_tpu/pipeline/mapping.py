@@ -21,7 +21,6 @@ the 82-base rescoring horizon with negative bases_left arithmetic, and the
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional
 
 import numpy as np
@@ -36,30 +35,84 @@ from ..cpu import oracle
 FORWARD, REVERSE_COMPLEMENT, NONE = 1, 2, 3
 
 
-@dataclasses.dataclass
 class AlignerArguments:
-    """Mirror of the reference's AlignerArguments (mappinghandler.cuh:67-100)."""
-    read_id: int = 0
-    query: str = ""            # read, RC'd in place when orientation == RC
-    rc_query: str = ""
-    three_n_query: str = ""
-    three_n_rc_query: str = ""
-    ref: str = ""              # 128-base window (raw chars, N preserved)
-    rc_ref: str = ""           # RC-genome slice starting at len - pos - 1
-    three_n_ref: str = ""
-    window_length: int = 0
-    position: int = 0
-    chromosome_id: int = 0
-    flag: int = 0
-    flag_rc: int = 0
-    alignments: Optional[List[sw.Alignment]] = None
-    num_conversions: Optional[List[int]] = None
-    mask_len: int = 15
-    # stored quality aligned with `query` (reversed when orientation == RC);
-    # empty = reference parity ('*' in SAM).  Opt-in via useQualityScores —
-    # the reference parses the flag but always writes '*'
-    # (mappinghandler.cu:196-293); emitting real QUAL exceeds it.
-    qual: str = ""
+    """Mirror of the reference's AlignerArguments (mappinghandler.cuh:67-100).
+
+    The RC/3N string variants are pure functions of `query`/`ref`
+    (NucleoideConverer, mappinghandler.cu:163-179), so they are derived
+    lazily — the batched device path never materializes them unless a
+    host fallback (or a parity test) reads them.  `rc_ref` is NOT
+    derivable from `ref` (it is a different genome slice) and stays
+    stored.
+    """
+    __slots__ = ("read_id", "query", "ref", "rc_ref", "window_length",
+                 "position", "chromosome_id", "flag", "flag_rc",
+                 "alignments", "num_conversions", "mask_len", "qual",
+                 "_rc_query", "_three_n_query", "_three_n_rc_query",
+                 "_three_n_ref")
+
+    def __init__(self):
+        self.read_id = 0
+        self.query = ""          # read, RC'd in place when orientation == RC
+        self.ref = ""            # 128-base window (raw chars, N preserved)
+        self.rc_ref = ""         # RC-genome slice starting at len - pos - 1
+        self.window_length = 0
+        self.position = 0
+        self.chromosome_id = 0
+        self.flag = 0
+        self.flag_rc = 0
+        self.alignments: Optional[List[sw.Alignment]] = None
+        self.num_conversions: Optional[List[int]] = None
+        self.mask_len = 15
+        # stored quality aligned with `query` (reversed when orientation ==
+        # RC); empty = reference parity ('*' in SAM).  Opt-in via
+        # useQualityScores — the reference parses the flag but always
+        # writes '*' (mappinghandler.cu:196-293); real QUAL exceeds it.
+        self.qual = ""
+        self._rc_query = None
+        self._three_n_query = None
+        self._three_n_rc_query = None
+        self._three_n_ref = None
+
+    @property
+    def rc_query(self):
+        if self._rc_query is None:
+            self._rc_query = oracle.revcomp_str(self.query)
+        return self._rc_query
+
+    @rc_query.setter
+    def rc_query(self, v):
+        self._rc_query = v
+
+    @property
+    def three_n_query(self):
+        if self._three_n_query is None:
+            self._three_n_query = _three_n(self.query)
+        return self._three_n_query
+
+    @three_n_query.setter
+    def three_n_query(self, v):
+        self._three_n_query = v
+
+    @property
+    def three_n_rc_query(self):
+        if self._three_n_rc_query is None:
+            self._three_n_rc_query = _three_n(self.rc_query)
+        return self._three_n_rc_query
+
+    @three_n_rc_query.setter
+    def three_n_rc_query(self, v):
+        self._three_n_rc_query = v
+
+    @property
+    def three_n_ref(self):
+        if self._three_n_ref is None:
+            self._three_n_ref = _three_n(self.ref)
+        return self._three_n_ref
+
+    @three_n_ref.setter
+    def three_n_ref(self, v):
+        self._three_n_ref = v
 
 
 def _three_n(s: str) -> str:
@@ -291,6 +344,15 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     from .. import native
     from ..ops import swdev
 
+    import os
+    import time as _time
+    _marks = [("start", _time.perf_counter())] \
+        if os.environ.get("HRM_STEP2_TIMING") else None
+
+    def _mark(label):
+        if _marks is not None:
+            _marks.append((label, _time.perf_counter()))
+
     n = reads.num_reads
     lens = reads.lengths.astype(np.int64)
     lq = max(1, reads.max_length)
@@ -327,32 +389,39 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
                                 seq_rc[np.minimum(g2, size - 1)], 0)
         wlens[rows] = wl
 
+    _mark("array_prep")
     q_ascii = _B4[fwd_mat]
     rcq_ascii = _B4[rcq_mat]
+    # one bulk decode per matrix; per-read strings are C-level slices (the
+    # RC/3N variants are lazy properties, never built here)
+    q_all = q_ascii.tobytes().decode("latin1")
+    win_all = win.tobytes().decode("latin1")
+    win_rc_all = win_rc.tobytes().decode("latin1")
+    lens_l = lens32.tolist()
+    wlens_l = wlens.tolist()
+    pos_l = position.tolist()
+    chrom_l = chromosome_id.tolist()
+    unmapped_l = (orientation == NONE).tolist()
     out: List[AlignerArguments] = []
     for r in range(n):
-        rl = int(lens[r])
-        wlen = int(wlens[r])
+        rl = lens_l[r]
+        wlen = wlens_l[r]
         aa = AlignerArguments()
         aa.read_id = r
-        aa.query = q_ascii[r, :rl].tobytes().decode("latin1")
-        aa.rc_query = rcq_ascii[r, :rl].tobytes().decode("latin1")
-        aa.three_n_query = _3N_ASCII[q_ascii[r, :rl]].tobytes().decode("latin1")
-        aa.three_n_rc_query = _3N_ASCII[rcq_ascii[r, :rl]].tobytes().decode(
-            "latin1")
-        aa.ref = win[r, :wlen].tobytes().decode("latin1")
-        aa.rc_ref = win_rc[r, :wlen].tobytes().decode("latin1")
-        aa.three_n_ref = _3N_ASCII[win[r, :wlen]].tobytes().decode("latin1")
+        aa.query = q_all[r * lq:r * lq + rl]
+        aa.ref = win_all[r * ws:r * ws + wlen]
+        aa.rc_ref = win_rc_all[r * ws:r * ws + wlen]
         aa.window_length = wlen
-        aa.position = int(position[r])
-        aa.chromosome_id = int(chromosome_id[r])
-        aa.mask_len = max(15, rl // 2)
+        aa.position = pos_l[r]
+        aa.chromosome_id = chrom_l[r]
+        aa.mask_len = rl // 2 if rl >= 30 else 15
         aa.alignments = [sw.Alignment(), sw.Alignment()]
         aa.num_conversions = [0, 0]
-        if orientation[r] == NONE:
+        if unmapped_l[r]:
             aa.flag |= 0x4
         out.append(aa)
 
+    _mark("aa_build")
     m = np.nonzero(orientation != NONE)[0]
     nm = len(m)
     if nm:
@@ -376,18 +445,22 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         dev = {k: np.empty(P, np.int32) for k in fields}
         dev["host_fallback"] = np.empty(P, bool)
         dev["degenerate"] = np.empty(P, bool)
+        pending = []
         for s in range(0, P, chunk):
             e = min(s + chunk, P)
             pad = chunk - (e - s)
             sl = lambda a, fill: (np.concatenate(
                 [a[s:e], np.full((pad,) + a.shape[1:], fill, a.dtype)])
                 if pad else a[s:e])
-            res = swdev.ssw_score_batch(
+            pending.append((s, e, swdev.ssw_score_dispatch(
                 sl(pair_q, 4), sl(pair_rl, 1), sl(pair_ref, 4),
-                sl(pair_fl, 1), sl(pair_ml, 15))
+                sl(pair_fl, 1), sl(pair_ml, 15))))
+        for s, e, packed_dev in pending:
+            res = swdev.ssw_score_collect(packed_dev)
             for k in dev:
                 dev[k][s:e] = res[k][:e - s]
 
+        _mark("device_score")
         fb = dev["host_fallback"]
         dg = dev["degenerate"] & ~fb
         fin = np.nonzero(~fb & ~dg)[0]
@@ -420,6 +493,7 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
                     ref_end_next_best=int(dev["ref_end2"][pi]),
                     mismatches=int(mism[j]), cigar_string=cigars[j],
                     flag=int(flags[j]))
+        _mark("native_finish")
         for pi in np.nonzero(dg)[0]:
             # ssw_align's early return (score 0): score-only result
             als[pi] = sw.Alignment(
@@ -434,6 +508,7 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             w = _B5[pair_ref[pi, :pair_fl[pi]]].tobytes().decode("latin1")
             als[pi] = sw.ssw_align(q, w, int(pair_ml[pi]))
 
+        _mark("fallback_pairs")
         for i, r in enumerate(m):
             aa = out[r]
             aa.alignments[0] = als[2 * i]
@@ -444,6 +519,7 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         # native batched rescoring (comparefk, mappinghandler.cu:747-766):
         # alignment h=0 rescored against rc_query, h=1 against query (the
         # reference's `if (!h)` swap)
+        _mark("aa_assign")
         lib = native.get_lib()
         if lib is not None and hasattr(lib, "hrm_rescore_batch"):
             na = 2 * nm
@@ -486,6 +562,10 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
                     al.sw_score = int(sw_arr[2 * i + k])
                     al.sw_score_next_best = int(nb_arr[2 * i + k])
                     aa.num_conversions[k] = int(conv[2 * i + k])
+            _mark("rescore")
+            if _marks is not None:
+                for (l0, t0), (l1, t1) in zip(_marks, _marks[1:]):
+                    print(f"STEP2 {l1}: {t1 - t0:.3f}s", flush=True)
             return out
 
     for aa in out:
