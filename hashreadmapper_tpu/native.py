@@ -79,7 +79,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, i32p, i32p,   # query pool/off/len
             ctypes.c_char_p, i32p, i32p,   # ref pool/off/len
             i32p, i32p, i32p, i32p, i32p, i32p,  # score1, rb, re, qb, qe, flag
-            ctypes.c_int, ctypes.c_int,    # n_pairs, threads
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n_pairs, threads, codes
             i32p, i32p,                    # mismatches_out, flag_out
             ctypes.c_char_p, i32p, ctypes.c_int]  # cigars, lens, stride
         lib.hrm_rescore_batch.restype = ctypes.c_int
@@ -198,10 +198,13 @@ def read_fastx_native(path: str, pitch: int, batch: int = 65536,
 def ssw_finish_batch(query_pool: bytes, query_off, query_len,
                      ref_pool: bytes, ref_off, ref_len,
                      score1, ref_begin, ref_end, query_begin, query_end,
-                     flag_in, threads: int = 0, cigar_stride: int = 1024):
+                     flag_in, threads: int = 0, cigar_stride: int = 1024,
+                     codes: bool = False):
     """Banded CIGAR + =/X rewrite for device-scored pairs.
 
-    All array args are int32 numpy arrays of equal length n.  Returns
+    All array args are int32 numpy arrays of equal length n.  With
+    codes=True the pools hold 0..4 base codes instead of ASCII (zero-copy
+    in the native worker).  Returns
     (cigars list[str], mismatches [n] int32, flags [n] int32).
     """
     import os as _os
@@ -229,7 +232,8 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
         arrs[4].ctypes.data_as(i32p), arrs[5].ctypes.data_as(i32p),
         arrs[6].ctypes.data_as(i32p), arrs[7].ctypes.data_as(i32p),
         arrs[8].ctypes.data_as(i32p), arrs[9].ctypes.data_as(i32p),
-        n, threads, mism.ctypes.data_as(i32p), flags.ctypes.data_as(i32p),
+        n, threads, int(codes),
+        mism.ctypes.data_as(i32p), flags.ctypes.data_as(i32p),
         cigars_buf, clens.ctypes.data_as(i32p), cigar_stride)
     if rc != 0:
         raise RuntimeError("hrm_ssw_finish_batch failed (cigar overflow?)")

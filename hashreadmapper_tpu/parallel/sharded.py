@@ -110,9 +110,13 @@ class ShardedCoarseMapper:
         repl = NamedSharding(mesh, P())
         hash_ids = jnp.arange(opts.num_hash_functions, dtype=jnp.uint32)
 
+        from ..pipeline.engine import window_bases_device
         sig_parts, valid_parts = [], []
-        for bases, lens, n in self.base.iter_window_superbatches(sig_batch):
-            bdev = jnp.asarray(bases)
+        for gstart, lens, n in self.base.iter_window_superbatch_starts(
+                sig_batch):
+            bdev = window_bases_device(
+                self.base.table.genome_concat, jnp.asarray(gstart),
+                opts.window_size)
             ldev = jnp.asarray(lens)
             if opts.three_n_seeding:
                 s_ct, v = minhash.minhash_signatures_chunked(

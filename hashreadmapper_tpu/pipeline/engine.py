@@ -141,6 +141,20 @@ def plan_num_hash_functions(opts: ProgramOptions, num_windows: int) -> int:
     return f
 
 
+@partial(jax.jit, static_argnames=("ws",))
+def window_bases_device(genome_concat: jnp.ndarray, gstart: jnp.ndarray,
+                        ws: int) -> jnp.ndarray:
+    """Gather [n, ws] window bases from the resident genome on device.
+
+    Replaces the host-staged superbatch gather (the reference streams
+    window bases from host memory, gpuminhasherconstruction.cu:168-214;
+    here the genome is already device-resident, so the index build only
+    uploads the [n] int32 start offsets)."""
+    idx = gstart[:, None] + jnp.arange(ws, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, genome_concat.shape[0] - 1)
+    return jnp.take(genome_concat, idx.reshape(-1)).reshape(idx.shape)
+
+
 class CoarseMapper:
     def __init__(self, genome: Genome, opts: ProgramOptions,
                  sig_batch: int = 4096, load_index_from: str = "",
@@ -188,31 +202,39 @@ class CoarseMapper:
             self.index = None
         self.dropped: Optional[tuple] = None
 
-    def iter_window_superbatches(self, sig_batch: int = 4096):
-        """Host-staged window base superbatches for index building.
+    def iter_window_superbatch_starts(self, sig_batch: int = 4096):
+        """Window-start superbatches for the device-side index build.
 
-        Yields (bases [n_pad, ws] int8, lens [n_pad] int32, n) with n_pad a
-        sig_batch multiple; mirrors the reference's bounded-memory insert
-        loop (gpuminhasherconstruction.cu:123-242)."""
+        Yields (gstart [n_pad] int32 device offsets into genome_concat,
+        lens [n_pad] int32, n) with n_pad a sig_batch multiple; the bases
+        themselves are gathered ON DEVICE from the resident genome
+        (window_bases_device) — only these small offset arrays cross
+        host->device.  Mirrors the reference's bounded-memory insert loop
+        (gpuminhasherconstruction.cu:123-242)."""
         opts = self.opts
         win_pos, win_chrom, win_len = self._window_geometry()
         w = len(win_pos)
         chrom_offset = np.asarray(self.table.chrom_offset)
-        concat = np.asarray(self.table.genome_concat)
-        ws = opts.window_size
         superbatch = sig_batch * 64
         for s0 in range(0, w, superbatch):
             s1 = min(s0 + superbatch, w)
             n = s1 - s0
             n_pad = ((n + sig_batch - 1) // sig_batch) * sig_batch
-            gstart = chrom_offset[win_chrom[s0:s1]] + win_pos[s0:s1]
-            idx = gstart[:, None] + np.arange(ws)[None, :]
-            idx = np.minimum(idx, len(concat) - 1)
-            bases = np.zeros((n_pad, ws), dtype=np.int8)
-            bases[:n] = concat[idx]
+            gstart = np.zeros(n_pad, dtype=np.int32)
+            gstart[:n] = chrom_offset[win_chrom[s0:s1]] + win_pos[s0:s1]
             lens = np.zeros(n_pad, dtype=np.int32)
             lens[:n] = win_len[s0:s1]
-            yield bases, lens, n
+            yield gstart, lens, n
+
+    def iter_window_superbatches(self, sig_batch: int = 4096):
+        """Host-staged window base superbatches (oracle/compat path for
+        iter_window_superbatch_starts + window_bases_device)."""
+        concat = np.asarray(self.table.genome_concat)
+        ws = self.opts.window_size
+        for gstart, lens, n in self.iter_window_superbatch_starts(sig_batch):
+            idx = gstart[:, None].astype(np.int64) + np.arange(ws)[None, :]
+            idx = np.minimum(idx, len(concat) - 1)
+            yield concat[idx], lens, n
 
     def save_index(self, path: str) -> None:
         """Window-index artifact (replaces --save-hashtables-to)."""
@@ -257,10 +279,11 @@ class CoarseMapper:
 
         sig_parts = []
         valid_parts = []
-        for bases, lens, n in self.iter_window_superbatches(sig_batch):
+        for gstart, lens, n in self.iter_window_superbatch_starts(sig_batch):
+            bdev = window_bases_device(
+                self.table.genome_concat, jnp.asarray(gstart), opts.window_size)
+            ldev = jnp.asarray(lens)
             if opts.three_n_seeding:
-                bdev = jnp.asarray(bases)
-                ldev = jnp.asarray(lens)
                 s_ct, v = minhash.minhash_signatures_chunked(
                     jnp.where(bdev == 1, jnp.int8(3), bdev), ldev,
                     opts.kmer_length, self._hash_ids_dev, sig_batch,
@@ -272,7 +295,7 @@ class CoarseMapper:
                 s = jnp.concatenate([s_ct, s_ga], axis=1)   # [n, 2F]
             else:
                 s, v = minhash.minhash_signatures_chunked(
-                    jnp.asarray(bases), jnp.asarray(lens), opts.kmer_length,
+                    bdev, ldev, opts.kmer_length,
                     self._hash_ids_dev, sig_batch)
             sig_parts.append(s[:n])
             valid_parts.append(v[:n])

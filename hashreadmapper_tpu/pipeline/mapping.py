@@ -467,32 +467,35 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         als: List[Optional[sw.Alignment]] = [None] * P
 
         # native finish in blocks (keeps pool offsets within int32)
+        devl = {k: dev[k].tolist() for k in fields}  # C-speed int conversion
         fin_block = 1 << 16
         for b0 in range(0, len(fin), fin_block):
             fb_idx = fin[b0:b0 + fin_block]
             nf = len(fb_idx)
-            q_rows = _B5[pair_q[fb_idx]]
-            r_rows = _B5[pair_ref[fb_idx]]
             cigars, mism, flags = native.ssw_finish_batch(
-                q_rows.tobytes(), np.arange(nf, dtype=np.int64) * lq,
-                pair_rl[fb_idx],
-                r_rows.tobytes(), np.arange(nf, dtype=np.int64) * ws,
-                pair_fl[fb_idx],
+                pair_q[fb_idx].tobytes(),
+                np.arange(nf, dtype=np.int64) * lq, pair_rl[fb_idx],
+                pair_ref[fb_idx].tobytes(),
+                np.arange(nf, dtype=np.int64) * ws, pair_fl[fb_idx],
                 dev["score1"][fb_idx], dev["ref_begin"][fb_idx],
                 dev["ref_end"][fb_idx], dev["query_begin"][fb_idx],
                 dev["query_end"][fb_idx], dev["flag"][fb_idx],
-                threads=max(1, opts.threads))
-            for j, pi in enumerate(fb_idx):
-                als[pi] = sw.Alignment(
-                    sw_score=int(dev["score1"][pi]),
-                    sw_score_next_best=int(dev["score2"][pi]),
-                    ref_begin=int(dev["ref_begin"][pi]),
-                    ref_end=int(dev["ref_end"][pi]),
-                    query_begin=int(dev["query_begin"][pi]),
-                    query_end=int(dev["query_end"][pi]),
-                    ref_end_next_best=int(dev["ref_end2"][pi]),
-                    mismatches=int(mism[j]), cigar_string=cigars[j],
-                    flag=int(flags[j]))
+                threads=max(1, opts.threads), codes=True)
+            mism_l = mism.tolist()
+            flags_l = flags.tolist()
+            s1l, s2l = devl["score1"], devl["score2"]
+            rbl, rel, re2l = (devl["ref_begin"], devl["ref_end"],
+                              devl["ref_end2"])
+            qbl, qel = devl["query_begin"], devl["query_end"]
+            mk = sw.Alignment
+            for j, pi in enumerate(fb_idx.tolist()):
+                als[pi] = mk(
+                    sw_score=s1l[pi], sw_score_next_best=s2l[pi],
+                    ref_begin=rbl[pi], ref_end=rel[pi],
+                    query_begin=qbl[pi], query_end=qel[pi],
+                    ref_end_next_best=re2l[pi],
+                    mismatches=mism_l[j], cigar_string=cigars[j],
+                    flag=flags_l[j])
         _mark("native_finish")
         for pi in np.nonzero(dg)[0]:
             # ssw_align's early return (score 0): score-only result
@@ -555,13 +558,16 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
                     cig_off[b0:b1] - cig_off[b0], cig_len[b0:b1],
                     sw_arr[b0:b1], nb_arr[b0:b1],
                     threads=max(1, opts.threads))
-            for i, r in enumerate(m):
+            sw_l, nb_l, conv_l = sw_arr.tolist(), nb_arr.tolist(), conv.tolist()
+            for i, r in enumerate(m.tolist()):
                 aa = out[r]
-                for k in range(2):
-                    al = aa.alignments[k]
-                    al.sw_score = int(sw_arr[2 * i + k])
-                    al.sw_score_next_best = int(nb_arr[2 * i + k])
-                    aa.num_conversions[k] = int(conv[2 * i + k])
+                a0, a1 = aa.alignments
+                a0.sw_score = sw_l[2 * i]
+                a0.sw_score_next_best = nb_l[2 * i]
+                a1.sw_score = sw_l[2 * i + 1]
+                a1.sw_score_next_best = nb_l[2 * i + 1]
+                aa.num_conversions[0] = conv_l[2 * i]
+                aa.num_conversions[1] = conv_l[2 * i + 1]
             _mark("rescore")
             if _marks is not None:
                 for (l0, t0), (l1, t1) in zip(_marks, _marks[1:]):

@@ -13,6 +13,7 @@
 // arithmetic), the way the Python oracle does.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -161,69 +162,132 @@ static PassResult striped_pass(const std::vector<int8_t>& read,
 }
 
 // Banded traceback (mirrors sw.py::_banded_cigar).
-static bool banded_cigar(const std::vector<int8_t>& read,
-                         const std::vector<int8_t>& ref,
+//
+// Perf note: the oracle zero-fills full read_len x ref_len matrices per
+// band iteration, but the DP guards (in_up/in_left/in_diag) never read
+// outside the band, and the only out-of-band reads happen in the traceback
+// (where a zero direction means "left the band -> fail").  So the scratch
+// matrices are reused across pairs WITHOUT clearing, and the traceback
+// tests band membership explicitly — bit-identical results, ~200 KB less
+// alloc+memset per pair.
+struct BandScratch {
+    std::vector<int> h, e;
+    std::vector<int8_t> d_e, d_f, d_h;
+    std::string ops;
+};
+
+// banded-DP accounting, read via hrm_band_stats (diagnostic only)
+static std::atomic<long long> g_band_cells{0}, g_band_iters{0},
+    g_band_pairs{0};
+
+static bool banded_cigar(const int8_t* read, int read_len,
+                         const int8_t* ref, int ref_len,
                          int score, int gap_open, int gap_extend,
                          int match_s, int mismatch_s,
                          std::vector<std::pair<int, char>>* entries) {
-    const int read_len = (int)read.size();
-    const int ref_len = (int)ref.size();
     int band_width = std::abs(ref_len - read_len) + 1;
     const int max_len = std::max(ref_len, read_len);
 
-    std::vector<int> h(read_len * ref_len), e(read_len * ref_len);
-    std::vector<int8_t> d_e(read_len * ref_len), d_f(read_len * ref_len),
-        d_h(read_len * ref_len);
+    thread_local BandScratch scratch;
+    const size_t cells = (size_t)read_len * ref_len;
+    if (scratch.h.size() < cells) {
+        scratch.h.resize(cells);
+        scratch.e.resize(cells);
+        scratch.d_e.resize(cells);
+        scratch.d_f.resize(cells);
+        scratch.d_h.resize(cells);
+    }
+    std::vector<int>& h = scratch.h;
+    std::vector<int>& e = scratch.e;
+    std::vector<int8_t>& d_e = scratch.d_e;
+    std::vector<int8_t>& d_f = scratch.d_f;
+    std::vector<int8_t>& d_h = scratch.d_h;
     int best = 0;
+    g_band_pairs.fetch_add(1, std::memory_order_relaxed);
     while (true) {
-        std::fill(h.begin(), h.end(), 0);
-        std::fill(e.begin(), e.end(), 0);
-        for (int i = 0; i < read_len; i++) {
-            int beg = std::max(0, i - band_width);
-            int endj = std::min(ref_len - 1, i + band_width);
+        g_band_iters.fetch_add(1, std::memory_order_relaxed);
+        g_band_cells.fetch_add(
+            (long long)read_len * std::min(2 * band_width + 1, ref_len),
+            std::memory_order_relaxed);
+        // row i == 0: in_up/in_diag are false; constants per the oracle
+        {
+            const int endj = std::min(ref_len - 1, band_width);
             int f = 0;
-            for (int j = beg; j <= endj; j++) {
-                bool in_up = i > 0 && std::abs(j - (i - 1)) <= band_width;
-                int h_up = in_up ? h[(i - 1) * ref_len + j] : 0;
-                int e_up = in_up ? e[(i - 1) * ref_len + j] : 0;
-                int t1, t2;
-                if (i == 0) { t1 = -gap_open; t2 = -gap_extend; }
-                else { t1 = h_up - gap_open; t2 = e_up - gap_extend; }
+            const int rd0 = read[0];
+            for (int j = 0; j <= endj; j++) {
+                int t1 = -gap_open, t2 = -gap_extend;
                 int e_cur = t1 > t2 ? t1 : t2;
-                d_e[i * ref_len + j] = t1 > t2 ? 3 : 2;
-                e[i * ref_len + j] = e_cur;
-
-                bool in_left = j > beg;
-                int h_left = in_left ? h[i * ref_len + (j - 1)] : 0;
+                d_e[j] = t1 > t2 ? 3 : 2;
+                e[j] = e_cur;
+                int h_left = j > 0 ? h[j - 1] : 0;
                 t1 = h_left - gap_open;
                 t2 = f - gap_extend;
                 f = t1 > t2 ? t1 : t2;
-                d_f[i * ref_len + j] = t1 > t2 ? 5 : 4;
+                d_f[j] = t1 > t2 ? 5 : 4;
+                int e1 = e_cur > 0 ? e_cur : 0;
+                int f1 = f > 0 ? f : 0;
+                t1 = e1 > f1 ? e1 : f1;
+                t2 = score_mat(ref[j], rd0, match_s, mismatch_s);
+                int h_cur = t1 > t2 ? t1 : t2;
+                h[j] = h_cur;
+                if (h_cur > best) best = h_cur;
+                d_h[j] = (t1 <= t2) ? 1 : (e1 > f1 ? d_e[j] : d_f[j]);
+            }
+        }
+        for (int i = 1; i < read_len; i++) {
+            const int beg = std::max(0, i - band_width);
+            const int endj = std::min(ref_len - 1, i + band_width);
+            // in_up (|j-(i-1)| <= bw) fails only above i-1+bw: j >= beg
+            // >= i-bw > i-1-bw covers the lower side; in_diag's |j-1-(i-1)|
+            // <= bw holds for every j in [beg, endj].
+            const int up_lim = i - 1 + band_width;
+            int f = 0;
+            int* h_row = &h[(size_t)i * ref_len];
+            int* e_row = &e[(size_t)i * ref_len];
+            const int* h_up = &h[(size_t)(i - 1) * ref_len];
+            const int* e_up = &e[(size_t)(i - 1) * ref_len];
+            int8_t* de_row = &d_e[(size_t)i * ref_len];
+            int8_t* df_row = &d_f[(size_t)i * ref_len];
+            int8_t* dh_row = &d_h[(size_t)i * ref_len];
+            const int rdi = read[i];
+            for (int j = beg; j <= endj; j++) {
+                const bool in_up = j <= up_lim;
+                int t1 = (in_up ? h_up[j] : 0) - gap_open;
+                int t2 = (in_up ? e_up[j] : 0) - gap_extend;
+                int e_cur = t1 > t2 ? t1 : t2;
+                de_row[j] = t1 > t2 ? 3 : 2;
+                e_row[j] = e_cur;
+
+                int h_left = j > beg ? h_row[j - 1] : 0;
+                t1 = h_left - gap_open;
+                t2 = f - gap_extend;
+                f = t1 > t2 ? t1 : t2;
+                df_row[j] = t1 > t2 ? 5 : 4;
 
                 int e1 = e_cur > 0 ? e_cur : 0;
                 int f1 = f > 0 ? f : 0;
                 t1 = e1 > f1 ? e1 : f1;
-                bool in_diag = i > 0 && j > beg
-                    && std::abs((j - 1) - (i - 1)) <= band_width;
-                int h_diag = in_diag ? h[(i - 1) * ref_len + (j - 1)] : 0;
-                t2 = h_diag + score_mat(ref[j], read[i], match_s, mismatch_s);
+                int h_diag = j > beg ? h_up[j - 1] : 0;
+                t2 = h_diag + score_mat(ref[j], rdi, match_s, mismatch_s);
                 int h_cur = t1 > t2 ? t1 : t2;
-                h[i * ref_len + j] = h_cur;
+                h_row[j] = h_cur;
                 if (h_cur > best) best = h_cur;
-                if (t1 <= t2) d_h[i * ref_len + j] = 1;
-                else d_h[i * ref_len + j] =
-                    e1 > f1 ? d_e[i * ref_len + j] : d_f[i * ref_len + j];
+                dh_row[j] = (t1 <= t2) ? 1 : (e1 > f1 ? de_row[j] : df_row[j]);
             }
         }
         band_width *= 2;
         if (!(best < score && band_width <= max_len)) break;
     }
+    const int bw_final = band_width / 2;  // band used by the last DP pass
 
     // traceback
     int i = read_len - 1, j = ref_len - 1;
-    std::string ops;
+    std::string& ops = scratch.ops;
+    ops.clear();
     int layer = 2;
     while (i >= 0 && j > 0) {
+        // out-of-band cells read as direction 0 in the zero-filled oracle
+        if (std::abs(j - i) > bw_final) return false;
         int8_t d;
         if (layer == 0) d = d_e[i * ref_len + j];
         else if (layer == 1) d = d_f[i * ref_len + j];
@@ -261,8 +325,7 @@ static bool banded_cigar(const std::vector<int8_t>& read,
 // plus the M -> =/X rewrite with soft clips.  Fills cigar/mismatches/flag.
 // flag_in carries the reverse-pass flag (0 ok / 2 begin-missing); banded
 // failure overrides it with 1 (matching s_align flag semantics).
-static void finish_alignment(const std::vector<int8_t>& read,
-                             const std::vector<int8_t>& ref_t,
+static void finish_alignment(const int8_t* read, const int8_t* ref_t,
                              int query_len_total,
                              int score1, int ref_begin, int ref_end,
                              int query_begin, int query_end, int flag_in,
@@ -273,12 +336,11 @@ static void finish_alignment(const std::vector<int8_t>& read,
     *flag_out = flag_in;
     *mismatches_out = 0;
     cig_out->clear();
-    std::vector<int8_t> sub_read(read.begin() + query_begin,
-                                 read.begin() + query_end + 1);
-    std::vector<int8_t> sub_ref(ref_t.begin() + ref_begin,
-                                ref_t.begin() + ref_end + 1);
-    std::vector<std::pair<int, char>> entries;
-    if (!banded_cigar(sub_read, sub_ref, score1, gap_open, gap_extend,
+    thread_local std::vector<std::pair<int, char>> entries;
+    if (!banded_cigar(read + query_begin,
+                      query_end - query_begin + 1,
+                      ref_t + ref_begin, ref_end - ref_begin + 1,
+                      score1, gap_open, gap_extend,
                       match_s, mismatch_s, &entries)) {
         *flag_out = 1;
         return;
@@ -324,6 +386,15 @@ static void finish_alignment(const std::vector<int8_t>& read,
 }  // namespace
 
 extern "C" {
+
+// Diagnostic counters for the banded traceback (reset=1 clears after read).
+void hrm_band_stats(long long* pairs, long long* iters, long long* cells,
+                    int reset) {
+    *pairs = g_band_pairs.load();
+    *iters = g_band_iters.load();
+    *cells = g_band_cells.load();
+    if (reset) { g_band_pairs = 0; g_band_iters = 0; g_band_cells = 0; }
+}
 
 struct HrmAlignment {
     int32_t sw_score;
@@ -396,8 +467,9 @@ int hrm_ssw_align(const char* query, int query_len,
     if (!compute_cigar) return 0;
 
     std::string cig;
-    finish_alignment(read, ref_t, query_len, fw.best, out->ref_begin,
-                     fw.end_ref, out->query_begin, fw.end_read, out->flag,
+    finish_alignment(read.data(), ref_t.data(), query_len, fw.best,
+                     out->ref_begin, fw.end_ref, out->query_begin,
+                     fw.end_read, out->flag,
                      gap_open, gap_extend, match_s, mismatch_s,
                      &out->flag, &out->mismatches, &cig);
     out->cigar_len = (int)cig.size();
@@ -420,7 +492,7 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                          const int32_t* score1, const int32_t* ref_begin,
                          const int32_t* ref_end, const int32_t* query_begin,
                          const int32_t* query_end, const int32_t* flag_in,
-                         int n_pairs, int n_threads,
+                         int n_pairs, int n_threads, int codes_in,
                          int32_t* mismatches_out, int32_t* flag_out,
                          char* cigar_pool, int32_t* cigar_len_out,
                          int cigar_stride);
@@ -476,7 +548,7 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                          const int32_t* score1, const int32_t* ref_begin,
                          const int32_t* ref_end, const int32_t* query_begin,
                          const int32_t* query_end, const int32_t* flag_in,
-                         int n_pairs, int n_threads,
+                         int n_pairs, int n_threads, int codes_in,
                          int32_t* mismatches_out, int32_t* flag_out,
                          char* cigar_pool, int32_t* cigar_len_out,
                          int cigar_stride) {
@@ -486,15 +558,29 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
     std::atomic<int> err{0};
     auto worker = [&]() {
         std::string cig;
+        std::vector<int8_t> read_buf, ref_buf;
         while (true) {
             int i = next.fetch_add(1);
             if (i >= n_pairs) break;
             const int ql = query_len[i], fl = ref_len[i];
-            std::vector<int8_t> read(ql), ref_t(fl);
             const char* q = query_pool + query_off[i];
             const char* r = ref_pool + ref_off[i];
-            for (int t = 0; t < ql; t++) read[t] = translate_char(q[t]);
-            for (int t = 0; t < fl; t++) ref_t[t] = translate_char(r[t]);
+            const int8_t* read;
+            const int8_t* ref_t;
+            if (codes_in) {
+                // pools already hold 0..4 codes: zero-copy
+                read = (const int8_t*)q;
+                ref_t = (const int8_t*)r;
+            } else {
+                read_buf.resize(ql);
+                ref_buf.resize(fl);
+                for (int t = 0; t < ql; t++)
+                    read_buf[t] = translate_char(q[t]);
+                for (int t = 0; t < fl; t++)
+                    ref_buf[t] = translate_char(r[t]);
+                read = read_buf.data();
+                ref_t = ref_buf.data();
+            }
             finish_alignment(read, ref_t, ql, score1[i], ref_begin[i],
                              ref_end[i], query_begin[i], query_end[i],
                              flag_in[i], gap_open, gap_extend, match_s,
