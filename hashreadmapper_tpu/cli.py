@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU capacity knobs
     p.add_argument("--probeCap", type=int, default=64)
     p.add_argument("--candidatesPerRead", type=int, default=32)
+    p.add_argument("--shdPairBudget", type=int, default=0,
+                   help="avg SHD pairs/read after compaction (0=off: every "
+                        "candidate slot evaluated)")
     p.add_argument("--maxReadLength", type=int, default=160)
     p.add_argument("--regions", type=int, default=0,
                    help="genome-region shards (0=auto; >2 Gbp genomes "
@@ -96,6 +99,7 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         three_n_seeding=args.threeN,
         probe_cap=args.probeCap,
         candidates_per_read_cap=args.candidatesPerRead,
+        shd_pairs_per_read_budget=args.shdPairBudget,
         max_read_length=args.maxReadLength,
         num_regions=args.regions,
     )

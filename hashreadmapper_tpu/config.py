@@ -107,6 +107,15 @@ class ProgramOptions:
     # Pairs per device dispatch in the STEP-2 score pass (fixed shape to
     # avoid recompiles; last chunk is padded).
     step2_pair_chunk: int = 8192
+    # SHD pair compaction: average (read, candidate) pairs per read budgeted
+    # for the SHD stage.  At real candidate densities most of the
+    # [B, candidates_per_read_cap] grid is padding; compacting valid pairs
+    # before SHD cuts its gathers ~kcap/budget x.  0 = off (every slot
+    # evaluated, the reference-parity guarantee); >0 trades a
+    # pair_budget_overflow counter for speed when a batch exceeds
+    # batchsize * budget valid pairs (dropped pairs rank after kept ones in
+    # vote order, mirroring the candidates_per_read_cap overflow rule).
+    shd_pairs_per_read_budget: int = 0
 
     @property
     def window_stride(self) -> int:

@@ -270,7 +270,8 @@ def _bucketed_lower_bound(keys: jnp.ndarray, bucket_start: jnp.ndarray,
     return lo
 
 
-@partial(jax.jit, static_argnames=("probe_cap", "probe_steps", "max_values_per_key"))
+@partial(jax.jit, static_argnames=("probe_cap", "probe_steps",
+                                   "max_values_per_key", "fnc_layout"))
 def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  index_values: jnp.ndarray, index_num_keys: jnp.ndarray,
                  sigs: jnp.ndarray, sig_valid: jnp.ndarray,
@@ -278,7 +279,8 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  dropped_keys: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                  bucket_start: Optional[jnp.ndarray] = None,
                  probe_steps: int = 0,
-                 max_values_per_key: int = 0
+                 max_values_per_key: int = 0,
+                 fnc_layout: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Capped CSR lookup of [N, F] query signatures.
 
@@ -288,6 +290,8 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
       counts: [N, F] int32 true match counts (before capping) for overflow
             accounting (reference semantics have no cap here; parity tests
             must choose probe_cap >= max count).
+    With fnc_layout=True the probe's NATIVE layouts come back untransposed
+    (cand [F, N, C], counts [F, N]) — what vote_candidates_fnc_auto wants.
     """
     n, f = sigs.shape
     sigs_t = sigs.T  # [F, N]
@@ -324,7 +328,28 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
     vals = jax.vmap(jnp.take)(index_values, gidx.reshape(f, -1))
     vals = vals.reshape(f, n, probe_cap)
     cand = jnp.where(in_range, vals, jnp.uint32(SENTINEL))
+    if fnc_layout:
+        return cand, counts
     return cand.transpose(1, 0, 2), counts.T
+
+
+def vote_candidates_fnc_auto(cand_fnc: jnp.ndarray, min_table_hits: int,
+                             out_cap: int):
+    """vote_candidates over [F, N, C] probe output: fused Pallas kernel on
+    TPU (ops/vote_pallas.py, ~5x the XLA merge tree), bit-identical XLA
+    fallback elsewhere / at shapes the kernel does not take."""
+    f, n, c = cand_fnc.shape
+    f2c = (1 << max(f - 1, 0).bit_length()) * c
+    # the kernel's unrolled merge stages live on the VMEM stack: ~20 KB per
+    # merge row; 512 rows (the production probe_cap 16 x 32-table shape)
+    # measured ~10 MB of the 16 MB scoped limit, 2048 rows OOMs
+    if (jax.default_backend() == "tpu" and n % 128 == 0 and c > 0
+            and c & (c - 1) == 0 and f2c <= 512):
+        from ..ops import vote_pallas
+        return vote_pallas.vote_candidates_fnc(
+            cand_fnc, min_table_hits, out_cap)
+    return vote_candidates(cand_fnc.transpose(1, 0, 2), min_table_hits,
+                           out_cap)
 
 
 # ---------------------------------------------------------------------------

@@ -210,17 +210,18 @@ class ShardedCoarseMapper:
                 sigs, t_idx * f_local, f_local, axis=1)
             cand_local, counts_local = mi.probe_tables(
                 keys, offsets, values, num_keys, local_sigs, sig_valid,
-                opts.probe_cap, dropped_keys=(dropped_keys, dropped_num))
+                opts.probe_cap, dropped_keys=(dropped_keys, dropped_num),
+                fnc_layout=True)
 
             # merge per-table partials: the reference P2P-gathers per-GPU
             # counts/values (multigpuminhasher.cuh:740-907); here one
-            # all_gather over ICI re-assembles [B, F, C]
+            # all_gather over ICI re-assembles the [F, N, C] probe layout
             cand = jax.lax.all_gather(
-                cand_local, "table", axis=1, tiled=True)
+                cand_local, "table", axis=0, tiled=True)
             counts = jax.lax.all_gather(
-                counts_local, "table", axis=1, tiled=True)
+                counts_local, "table", axis=0, tiled=True)
 
-            ids, hit_cnt, num_kept = mi.vote_candidates(
+            ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
                 cand, opts.min_table_hits, kcap)
 
             gwin = ids.reshape(-1)

@@ -405,20 +405,45 @@ class CoarseMapper:
             index_num_keys, sigs, sig_valid, opts.probe_cap,
             dropped_keys=(dropped_keys, dropped_num),
             bucket_start=bucket_start,
-            probe_steps=self.index.probe_steps)
-        ids, hit_cnt, num_kept = mi.vote_candidates(
+            probe_steps=self.index.probe_steps, fnc_layout=True)
+        ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
 
         # expand to pairs [B*K]
         gwin = ids.reshape(-1)
         pair_valid = gwin != jnp.uint32(0xFFFFFFFF)
-        gwin_c = jnp.where(pair_valid, gwin, 0).astype(jnp.int32)
+        gwin_full = jnp.where(pair_valid, gwin, 0).astype(jnp.int32)
+        nk = b * kcap
+        kb = opts.shd_pairs_per_read_budget
+        compact = 0 < kb < kcap
+        if compact:
+            # pair compaction: at real candidate densities most [B, K]
+            # slots are padding — SHD (and its window/plane gathers) runs
+            # only on the compacted valid pairs.  Overflow beyond the
+            # budget is counted and those pairs score as SHD-rejected.
+            budget = b * kb
+            iota_p = jnp.arange(nk, dtype=jnp.int32)
+            vi = pair_valid.astype(jnp.int32)
+            rank_p = jnp.cumsum(vi) - 1
+            n_valid = jnp.sum(vi)
+            slot = jnp.where(pair_valid & (rank_p < budget), rank_p, budget)
+            pair_sel = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(
+                iota_p, mode="drop")[:budget]
+            sel_valid = jnp.arange(budget, dtype=jnp.int32) < n_valid
+            pair_drops = jnp.maximum(n_valid - budget, 0)
+        else:
+            pair_sel = jnp.arange(nk, dtype=jnp.int32)
+            sel_valid = pair_valid
+            pair_drops = jnp.int32(0)
+
+        gwin_c = jnp.take(gwin_full, pair_sel)
+        ridx = pair_sel // kcap
         pos = jnp.take(win_pos, gwin_c)
         chrom = jnp.take(win_chrom, gwin_c)
         clen = jnp.take(chrom_len, chrom)
         coff = jnp.take(chrom_offset, chrom)
 
-        rl_rep = jnp.repeat(read_len, kcap)
+        rl_rep = jnp.take(read_len, ridx)
         loc = shd.extended_window_location(pos, clen, rl_rep, opts.window_size)
         params = shd.ShdParams(
             window_size=opts.window_size,
@@ -427,17 +452,27 @@ class CoarseMapper:
             max_hamming_percent=opts.max_hamming_percent)
         hi0, lo0, hi1, lo1, pmask = shd.pack_read_planes(
             read_bases, read_len, opts.three_n_seeding)
-        ridx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), kcap)
         res = shd.shd_pairs_packed_planes(
             genome_hi, genome_lo, coff + loc.start, loc.length, loc.left,
             jnp.take(hi0, ridx, axis=0), jnp.take(lo0, ridx, axis=0),
             jnp.take(hi1, ridx, axis=0), jnp.take(lo1, ridx, axis=0),
             jnp.take(pmask, ridx, axis=0), rl_rep,
-            pair_valid, params, three_n=opts.three_n_seeding)
+            sel_valid, params, three_n=opts.three_n_seeding)
 
-        ham = res.hamming.reshape(b, kcap)
-        shf = res.shift.reshape(b, kcap)
-        ori = res.orientation.reshape(b, kcap)
+        if compact:
+            tgt = jnp.where(sel_valid, pair_sel, nk)
+            ham_f = jnp.zeros((nk,), res.hamming.dtype).at[tgt].set(
+                res.hamming, mode="drop")
+            shf_f = jnp.zeros((nk,), res.shift.dtype).at[tgt].set(
+                res.shift, mode="drop")
+            ori_f = jnp.full((nk,), shd.NONE, res.orientation.dtype).at[
+                tgt].set(res.orientation, mode="drop")
+        else:
+            ham_f, shf_f, ori_f = res.hamming, res.shift, res.orientation
+
+        ham = ham_f.reshape(b, kcap)
+        shf = shf_f.reshape(b, kcap)
+        ori = ori_f.reshape(b, kcap)
         good = ori != shd.NONE
 
         # best per read: min hamming, then earliest window (ids ascend =>
@@ -446,7 +481,7 @@ class CoarseMapper:
         ham_m = jnp.where(good, ham, _BIG)
         min_h = jnp.min(ham_m, axis=1, keepdims=True)
         slot_key = jnp.where(good & (ham_m == min_h),
-                             gwin_c.reshape(b, kcap), _BIG)
+                             gwin_full.reshape(b, kcap), _BIG)
         best_slot = jnp.argmin(slot_key, axis=1)
         has = jnp.any(good, axis=1)
 
@@ -454,7 +489,7 @@ class CoarseMapper:
         out_ori = jnp.where(has, take(ori).astype(jnp.int32), shd.NONE)
         out_ham = jnp.where(has, take(ham), 0)
         out_shift = jnp.where(has, take(shf), 0)
-        best_gwin_i = take(gwin_c.reshape(b, kcap))
+        best_gwin_i = take(gwin_full.reshape(b, kcap))
         out_chrom = jnp.where(has, jnp.take(win_chrom, best_gwin_i), 0)
         out_pos = jnp.where(has, jnp.take(win_pos, best_gwin_i), 0)
         out_gwin = jnp.where(has, best_gwin_i, -1)  # -1 == SENTINEL bits
@@ -464,7 +499,7 @@ class CoarseMapper:
             [out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin],
             axis=1)
         overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
-                              jnp.sum(num_kept > kcap)])
+                              jnp.sum(num_kept > kcap), pair_drops])
         if collect_candidates:
             # COUNT_WINDOW_HITS instrumentation (reference:
             # windowhitstatisticcollector.hpp; main_gpu.cu:555-574, 824-852):
@@ -578,7 +613,8 @@ class CoarseMapper:
                 chromosome_id=np.zeros(0, dtype=np.int32),
                 position=np.zeros(0, dtype=np.int32),
                 global_window_id=np.zeros(0, dtype=np.uint32),
-                stats={"probe_overflow": 0, "vote_overflow": 0})
+                stats={"probe_overflow": 0, "vote_overflow": 0,
+                       "pair_budget_overflow": 0})
         assert lr <= opts.max_read_length, (
             f"reads longer than max_read_length ({lr} > {opts.max_read_length})")
         if lr < opts.max_read_length:
@@ -668,4 +704,5 @@ class CoarseMapper:
             position=all_packed[:, 4].astype(np.int32),
             global_window_id=all_packed[:, 5].astype(np.uint32),
             stats={"probe_overflow": int(all_overflow[0]),
-                   "vote_overflow": int(all_overflow[1])})
+                   "vote_overflow": int(all_overflow[1]),
+                   "pair_budget_overflow": int(all_overflow[2])})

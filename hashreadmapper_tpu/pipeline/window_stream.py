@@ -127,8 +127,9 @@ class WindowStreamMapper:
             bucket_start=bucket_start,
             probe_steps=self.index.probe_steps,
             max_values_per_key=(0 if opts.three_n_seeding
-                                else opts.max_results_per_map))
-        ids, _cnt, num_kept = mi.vote_candidates(
+                                else opts.max_results_per_map),
+            fnc_layout=True)
+        ids, _cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
 
         rid = ids.reshape(-1)                          # [B*K] read ids
