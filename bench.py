@@ -102,6 +102,7 @@ def coarse_rate(genome, reads, opts, label):
     packed = np.asarray(jnp.concatenate([o[0] for o in outs], axis=0))
     ovf = np.sum([np.asarray(o[1]) for o in outs], axis=0)
     assert ovf[2] == 0, f"pair budget overflowed ({ovf[2]} dropped pairs)"
+    assert ovf[3] == 0, f"probe tail budget overflowed ({ovf[3]} probes)"
     n_mapped = int((packed[:, 0] != 3).sum())
     log(f"[{label}] {batch*(n_batches-1)} reads in {dt:.3f}s -> "
         f"{rps:,.0f} reads/s; mapped {n_mapped}/{n_reads}; "
@@ -129,9 +130,11 @@ def main():
             min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
             probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
             threads=4, three_n_seeding=three_n,
-            # pair compaction: bit-identical while pair_budget_overflow
-            # stays 0 (asserted below)
-            shd_pairs_per_read_budget=4)
+            # compaction/two-tier knobs: bit-identical while the
+            # pair_budget/probe_tail overflow counters stay 0 (asserted
+            # below)
+            shd_pairs_per_read_budget=4,
+            probe_tail_budget_per_read=4)
 
     # --- flagship: 3N configuration on 90%-converted BS reads ---
     genome, reads, _ = make_genome_and_reads(

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shdPairBudget", type=int, default=0,
                    help="avg SHD pairs/read after compaction (0=off: every "
                         "candidate slot evaluated)")
+    p.add_argument("--probeTailBudget", type=int, default=0,
+                   help="heavy (count>4) probes budgeted per read for the "
+                        "two-tier value gather (0=off)")
     p.add_argument("--maxReadLength", type=int, default=160)
     p.add_argument("--regions", type=int, default=0,
                    help="genome-region shards (0=auto; >2 Gbp genomes "
@@ -100,6 +103,7 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         probe_cap=args.probeCap,
         candidates_per_read_cap=args.candidatesPerRead,
         shd_pairs_per_read_budget=args.shdPairBudget,
+        probe_tail_budget_per_read=args.probeTailBudget,
         max_read_length=args.maxReadLength,
         num_regions=args.regions,
     )

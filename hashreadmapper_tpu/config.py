@@ -116,6 +116,10 @@ class ProgramOptions:
     # batchsize * budget valid pairs (dropped pairs rank after kept ones in
     # vote order, mirroring the candidates_per_read_cap overflow rule).
     shd_pairs_per_read_budget: int = 0
+    # Two-tier probe value gather: heavy (count>4) probes budgeted per read
+    # (see minhash_index.probe_tables tail_budget).  0 = off (single full
+    # probe_cap gather).  Bit-identical while probe_tail_overflow stays 0.
+    probe_tail_budget_per_read: int = 0
 
     @property
     def window_stride(self) -> int:

@@ -271,7 +271,8 @@ def _bucketed_lower_bound(keys: jnp.ndarray, bucket_start: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("probe_cap", "probe_steps",
-                                   "max_values_per_key", "fnc_layout"))
+                                   "max_values_per_key", "fnc_layout",
+                                   "tail_budget"))
 def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  index_values: jnp.ndarray, index_num_keys: jnp.ndarray,
                  sigs: jnp.ndarray, sig_valid: jnp.ndarray,
@@ -280,8 +281,8 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  bucket_start: Optional[jnp.ndarray] = None,
                  probe_steps: int = 0,
                  max_values_per_key: int = 0,
-                 fnc_layout: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 fnc_layout: bool = False,
+                 tail_budget: int = 0):
     """Capped CSR lookup of [N, F] query signatures.
 
     Returns:
@@ -292,6 +293,14 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
             must choose probe_cap >= max count).
     With fnc_layout=True the probe's NATIVE layouts come back untransposed
     (cand [F, N, C], counts [F, N]) — what vote_candidates_fnc_auto wants.
+
+    tail_budget > 0 enables the two-tier value gather: measured probe hits
+    average ~1.2 values, so the head gather fetches only 4 slots per
+    (table, query) and the rare count>4 probes are compacted (<= tail_budget
+    of them) and gather their remaining probe_cap-4 slots separately —
+    ~3x fewer gathered elements, bit-identical while the third return value
+    (tail_drops) is 0.  Probes compacted out beyond the budget keep their
+    first 4 values only.  Adds tail_drops to the returns.
     """
     n, f = sigs.shape
     sigs_t = sigs.T  # [F, N]
@@ -320,14 +329,55 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
         found = found & ((off1 - off0) <= max_values_per_key)
     counts = jnp.where(found, off1 - off0, 0)                    # [F, N]
 
-    # gather up to probe_cap values per (f, n)
-    slot = jnp.arange(probe_cap, dtype=jnp.int32)                # [C]
-    gidx = off0[:, :, None] + slot[None, None, :]                # [F, N, C]
-    in_range = slot[None, None, :] < jnp.minimum(counts, probe_cap)[:, :, None]
-    gidx = jnp.clip(gidx, 0, index_values.shape[1] - 1)
+    v_cols = index_values.shape[1]
+    cap_eff = jnp.minimum(counts, probe_cap)                     # [F, N]
+    two_tier = (tail_budget > 0 and probe_cap > 4
+                and f * v_cols < 2**31)
+    c1 = 4 if two_tier else probe_cap
+
+    # head gather: first c1 values of every (f, n)
+    slot = jnp.arange(c1, dtype=jnp.int32)
+    gidx = off0[:, :, None] + slot[None, None, :]                # [F, N, c1]
+    in_range = slot[None, None, :] < cap_eff[:, :, None]
+    gidx = jnp.clip(gidx, 0, v_cols - 1)
     vals = jax.vmap(jnp.take)(index_values, gidx.reshape(f, -1))
-    vals = vals.reshape(f, n, probe_cap)
-    cand = jnp.where(in_range, vals, jnp.uint32(SENTINEL))
+    head = jnp.where(in_range, vals.reshape(f, n, c1),
+                     jnp.uint32(SENTINEL))
+
+    tail_drops = jnp.int32(0)
+    if two_tier:
+        # compact the rare count>4 probes; gather their tail slots flat
+        big = (counts > c1).reshape(-1)                          # [F*N]
+        bi = big.astype(jnp.int32)
+        rank = jnp.cumsum(bi) - 1
+        n_big = jnp.sum(bi)
+        bslot = jnp.where(big & (rank < tail_budget), rank, tail_budget)
+        sel = jnp.zeros((tail_budget + 1,), jnp.int32).at[bslot].set(
+            jnp.arange(f * n, dtype=jnp.int32), mode="drop")[:tail_budget]
+        sel_valid = jnp.arange(tail_budget, dtype=jnp.int32) < n_big
+        f_sel = sel // n
+        off0_sel = jnp.take(off0.reshape(-1), sel)
+        cap_sel = jnp.take(cap_eff.reshape(-1), sel)
+        slot2 = jnp.arange(c1, probe_cap, dtype=jnp.int32)
+        g2 = f_sel[:, None] * v_cols + off0_sel[:, None] + slot2[None, :]
+        in2 = (slot2[None, :] < cap_sel[:, None]) & sel_valid[:, None]
+        v2 = jnp.take(index_values.reshape(-1),
+                      jnp.clip(g2, 0, f * v_cols - 1).reshape(-1))
+        v2 = jnp.where(in2, v2.reshape(tail_budget, probe_cap - c1),
+                       jnp.uint32(SENTINEL))
+        tail = jnp.full((f * n + 1, probe_cap - c1), SENTINEL,
+                        dtype=jnp.uint32).at[
+            jnp.where(sel_valid, sel, f * n)].set(
+                v2, mode="drop")[:f * n].reshape(f, n, probe_cap - c1)
+        cand = jnp.concatenate([head, tail], axis=2)
+        tail_drops = jnp.maximum(n_big - tail_budget, 0)
+    else:
+        cand = head
+
+    if tail_budget > 0:
+        if fnc_layout:
+            return cand, counts, tail_drops
+        return cand.transpose(1, 0, 2), counts.T, tail_drops
     if fnc_layout:
         return cand, counts
     return cand.transpose(1, 0, 2), counts.T

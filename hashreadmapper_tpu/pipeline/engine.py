@@ -400,12 +400,23 @@ class CoarseMapper:
                 read_bases, read_len, opts.kmer_length, hash_ids)
         sig_valid = sig_valid & read_valid
 
-        cand, counts = mi.probe_tables(
-            index_keys, index_offsets, index_values,
-            index_num_keys, sigs, sig_valid, opts.probe_cap,
-            dropped_keys=(dropped_keys, dropped_num),
-            bucket_start=bucket_start,
-            probe_steps=self.index.probe_steps, fnc_layout=True)
+        tail_budget = b * opts.probe_tail_budget_per_read
+        if tail_budget > 0:
+            cand, counts, tail_drops = mi.probe_tables(
+                index_keys, index_offsets, index_values,
+                index_num_keys, sigs, sig_valid, opts.probe_cap,
+                dropped_keys=(dropped_keys, dropped_num),
+                bucket_start=bucket_start,
+                probe_steps=self.index.probe_steps, fnc_layout=True,
+                tail_budget=tail_budget)
+        else:
+            cand, counts = mi.probe_tables(
+                index_keys, index_offsets, index_values,
+                index_num_keys, sigs, sig_valid, opts.probe_cap,
+                dropped_keys=(dropped_keys, dropped_num),
+                bucket_start=bucket_start,
+                probe_steps=self.index.probe_steps, fnc_layout=True)
+            tail_drops = jnp.int32(0)
         ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
 
@@ -499,7 +510,8 @@ class CoarseMapper:
             [out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin],
             axis=1)
         overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
-                              jnp.sum(num_kept > kcap), pair_drops])
+                              jnp.sum(num_kept > kcap), pair_drops,
+                              tail_drops])
         if collect_candidates:
             # COUNT_WINDOW_HITS instrumentation (reference:
             # windowhitstatisticcollector.hpp; main_gpu.cu:555-574, 824-852):
@@ -614,7 +626,7 @@ class CoarseMapper:
                 position=np.zeros(0, dtype=np.int32),
                 global_window_id=np.zeros(0, dtype=np.uint32),
                 stats={"probe_overflow": 0, "vote_overflow": 0,
-                       "pair_budget_overflow": 0})
+                       "pair_budget_overflow": 0, "probe_tail_overflow": 0})
         assert lr <= opts.max_read_length, (
             f"reads longer than max_read_length ({lr} > {opts.max_read_length})")
         if lr < opts.max_read_length:
@@ -705,4 +717,5 @@ class CoarseMapper:
             global_window_id=all_packed[:, 5].astype(np.uint32),
             stats={"probe_overflow": int(all_overflow[0]),
                    "vote_overflow": int(all_overflow[1]),
-                   "pair_budget_overflow": int(all_overflow[2])})
+                   "pair_budget_overflow": int(all_overflow[2]),
+                   "probe_tail_overflow": int(all_overflow[3])})
