@@ -208,10 +208,20 @@ class ShardedCoarseMapper:
             f_local = self.n_tables // n_table
             local_sigs = jax.lax.dynamic_slice_in_dim(
                 sigs, t_idx * f_local, f_local, axis=1)
-            cand_local, counts_local = mi.probe_tables(
-                keys, offsets, values, num_keys, local_sigs, sig_valid,
-                opts.probe_cap, dropped_keys=(dropped_keys, dropped_num),
-                fnc_layout=True)
+            tail_budget = b * opts.probe_tail_budget_per_read
+            if tail_budget > 0:
+                cand_local, counts_local, tail_drops = mi.probe_tables(
+                    keys, offsets, values, num_keys, local_sigs, sig_valid,
+                    opts.probe_cap,
+                    dropped_keys=(dropped_keys, dropped_num),
+                    fnc_layout=True, tail_budget=tail_budget)
+            else:
+                cand_local, counts_local = mi.probe_tables(
+                    keys, offsets, values, num_keys, local_sigs, sig_valid,
+                    opts.probe_cap,
+                    dropped_keys=(dropped_keys, dropped_num),
+                    fnc_layout=True)
+                tail_drops = jnp.int32(0)
 
             # merge per-table partials: the reference P2P-gathers per-GPU
             # counts/values (multigpuminhasher.cuh:740-907); here one
@@ -224,60 +234,23 @@ class ShardedCoarseMapper:
             ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
                 cand, opts.min_table_hits, kcap)
 
-            gwin = ids.reshape(-1)
-            pair_valid = gwin != jnp.uint32(0xFFFFFFFF)
-            gwin_c = jnp.where(pair_valid, gwin, 0).astype(jnp.int32)
-            pos = jnp.take(win_pos, gwin_c)
-            chrom = jnp.take(win_chrom, gwin_c)
-            clen = jnp.take(chrom_len, chrom)
-            coff = jnp.take(chrom_offset, chrom)
-
-            rl_rep = jnp.repeat(read_len, kcap)
-            loc = shd.extended_window_location(
-                pos, clen, rl_rep, opts.window_size)
-            params = shd.ShdParams(
-                window_size=opts.window_size,
-                max_ext_len=opts.window_size + opts.max_read_length,
-                max_read_len=lr,
-                max_hamming_percent=opts.max_hamming_percent)
-            # per-read plane packing + pair-row gathers (the fast SHD path
-            # that took the single-chip engine 56k -> 114k reads/s)
-            hi0, lo0, hi1, lo1, pmask = shd.pack_read_planes(
-                read_bases, read_len, opts.three_n_seeding)
-            ridx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), kcap)
-            res = shd.shd_pairs_packed_planes(
-                genome_hi, genome_lo, coff + loc.start, loc.length, loc.left,
-                jnp.take(hi0, ridx, axis=0), jnp.take(lo0, ridx, axis=0),
-                jnp.take(hi1, ridx, axis=0), jnp.take(lo1, ridx, axis=0),
-                jnp.take(pmask, ridx, axis=0), rl_rep,
-                pair_valid, params, three_n=opts.three_n_seeding)
-
-            ham = res.hamming.reshape(b, kcap)
-            shf = res.shift.reshape(b, kcap)
-            ori = res.orientation.reshape(b, kcap)
-            good = ori != shd.NONE
-            ham_m = jnp.where(good, ham, _BIG)
-            min_h = jnp.min(ham_m, axis=1, keepdims=True)
-            slot_key = jnp.where(good & (ham_m == min_h),
-                                 gwin_c.reshape(b, kcap), _BIG)
-            best_slot = jnp.argmin(slot_key, axis=1)
-            has = jnp.any(good, axis=1)
-            take = lambda m: jnp.take_along_axis(
-                m, best_slot[:, None], axis=1)[:, 0]
-            out_ori = jnp.where(has, take(ori), jnp.int8(shd.NONE))
-            out_ham = jnp.where(has, take(ham), 0)
-            out_shift = jnp.where(has, take(shf), 0)
-            best_gwin = take(gwin_c.reshape(b, kcap))
-            out_chrom = jnp.where(has, jnp.take(win_chrom, best_gwin), 0)
-            out_pos = jnp.where(has, jnp.take(win_pos, best_gwin), 0)
+            from ..pipeline.engine import coarse_pairs_best
+            (out_ori32, out_ham, out_shift, out_chrom, out_pos, best_gwin,
+             has, _ori, pair_drops) = coarse_pairs_best(
+                ids, read_bases, read_len, opts, lr, genome_hi, genome_lo,
+                win_pos, win_chrom, chrom_offset, chrom_len)
+            out_ori = out_ori32.astype(jnp.int8)
             out_gwin = jnp.where(has, best_gwin.astype(jnp.uint32),
                                  jnp.uint32(0xFFFFFFFF))
             overflow = (jnp.sum(counts > opts.probe_cap)
-                        + jnp.sum(num_kept > kcap))
-            # identical on every table shard; harmless psum-mean keeps the
-            # output replicated along "table" for shard_map's rep checking
-            overflow = jax.lax.psum(overflow, "table") // jax.lax.axis_size(
-                "table")
+                        + jnp.sum(num_kept > kcap) + pair_drops)
+            # counts/num_kept/pair_drops are identical on every table shard
+            # (computed from gathered data): the psum-mean keeps the output
+            # replicated for shard_map's rep checking.  tail_drops is a
+            # pre-gather per-shard quantity: a true psum.
+            overflow = (jax.lax.psum(overflow, "table")
+                        // jax.lax.axis_size("table")
+                        + jax.lax.psum(tail_drops, "table"))
             return (out_ori, out_ham, out_shift, out_chrom, out_pos,
                     out_gwin, overflow)
 

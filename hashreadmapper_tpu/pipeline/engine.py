@@ -141,6 +141,107 @@ def plan_num_hash_functions(opts: ProgramOptions, num_windows: int) -> int:
     return f
 
 
+def coarse_pairs_best(ids, read_bases, read_len, opts, lr, genome_hi,
+                      genome_lo, win_pos, win_chrom, chrom_offset,
+                      chrom_len):
+    """Voted candidate ids -> SHD -> per-read best hit.
+
+    The shared tail of the coarse step (inverted engine and sharded step;
+    traced inside their jits/shard_map).  ids: [B, K] uint32 window
+    ordinals, SENTINEL-padded.  Honors opts.shd_pairs_per_read_budget:
+    valid (read, candidate) pairs are cumsum-compacted before the SHD
+    window/plane gathers, with overflow beyond batch*budget counted in
+    pair_drops (those pairs score as SHD-rejected).
+
+    Returns (out_ori, out_ham, out_shift, out_chrom, out_pos, best_gwin
+    [all [B] int32], has [B] bool, ori [B, K], pair_drops scalar).
+    """
+    b, kcap = ids.shape
+    gwin = ids.reshape(-1)
+    pair_valid = gwin != jnp.uint32(0xFFFFFFFF)
+    gwin_full = jnp.where(pair_valid, gwin, 0).astype(jnp.int32)
+    nk = b * kcap
+    kb = opts.shd_pairs_per_read_budget
+    compact = 0 < kb < kcap
+    if compact:
+        # pair compaction: at real candidate densities most [B, K] slots
+        # are padding — SHD (and its window/plane gathers) runs only on
+        # the compacted valid pairs.
+        budget = b * kb
+        iota_p = jnp.arange(nk, dtype=jnp.int32)
+        vi = pair_valid.astype(jnp.int32)
+        rank_p = jnp.cumsum(vi) - 1
+        n_valid = jnp.sum(vi)
+        slot = jnp.where(pair_valid & (rank_p < budget), rank_p, budget)
+        pair_sel = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(
+            iota_p, mode="drop")[:budget]
+        sel_valid = jnp.arange(budget, dtype=jnp.int32) < n_valid
+        pair_drops = jnp.maximum(n_valid - budget, 0)
+    else:
+        pair_sel = jnp.arange(nk, dtype=jnp.int32)
+        sel_valid = pair_valid
+        pair_drops = jnp.int32(0)
+
+    gwin_c = jnp.take(gwin_full, pair_sel)
+    ridx = pair_sel // kcap
+    pos = jnp.take(win_pos, gwin_c)
+    chrom = jnp.take(win_chrom, gwin_c)
+    clen = jnp.take(chrom_len, chrom)
+    coff = jnp.take(chrom_offset, chrom)
+
+    rl_rep = jnp.take(read_len, ridx)
+    loc = shd.extended_window_location(pos, clen, rl_rep, opts.window_size)
+    params = shd.ShdParams(
+        window_size=opts.window_size,
+        max_ext_len=opts.window_size + opts.max_read_length,
+        max_read_len=lr,
+        max_hamming_percent=opts.max_hamming_percent)
+    hi0, lo0, hi1, lo1, pmask = shd.pack_read_planes(
+        read_bases, read_len, opts.three_n_seeding)
+    res = shd.shd_pairs_packed_planes(
+        genome_hi, genome_lo, coff + loc.start, loc.length, loc.left,
+        jnp.take(hi0, ridx, axis=0), jnp.take(lo0, ridx, axis=0),
+        jnp.take(hi1, ridx, axis=0), jnp.take(lo1, ridx, axis=0),
+        jnp.take(pmask, ridx, axis=0), rl_rep,
+        sel_valid, params, three_n=opts.three_n_seeding)
+
+    if compact:
+        tgt = jnp.where(sel_valid, pair_sel, nk)
+        ham_f = jnp.zeros((nk,), res.hamming.dtype).at[tgt].set(
+            res.hamming, mode="drop")
+        shf_f = jnp.zeros((nk,), res.shift.dtype).at[tgt].set(
+            res.shift, mode="drop")
+        ori_f = jnp.full((nk,), shd.NONE, res.orientation.dtype).at[
+            tgt].set(res.orientation, mode="drop")
+    else:
+        ham_f, shf_f, ori_f = res.hamming, res.shift, res.orientation
+
+    ham = ham_f.reshape(b, kcap)
+    shf = shf_f.reshape(b, kcap)
+    ori = ori_f.reshape(b, kcap)
+    good = ori != shd.NONE
+
+    # best per read: min hamming, then earliest window (ids ascend =>
+    # genome order; reference keeps first strictly-smaller hit,
+    # main_gpu.cu:800-812)
+    ham_m = jnp.where(good, ham, _BIG)
+    min_h = jnp.min(ham_m, axis=1, keepdims=True)
+    slot_key = jnp.where(good & (ham_m == min_h),
+                         gwin_full.reshape(b, kcap), _BIG)
+    best_slot = jnp.argmin(slot_key, axis=1)
+    has = jnp.any(good, axis=1)
+
+    take = lambda m: jnp.take_along_axis(m, best_slot[:, None], axis=1)[:, 0]
+    out_ori = jnp.where(has, take(ori).astype(jnp.int32), shd.NONE)
+    out_ham = jnp.where(has, take(ham), 0)
+    out_shift = jnp.where(has, take(shf), 0)
+    best_gwin_i = take(gwin_full.reshape(b, kcap))
+    out_chrom = jnp.where(has, jnp.take(win_chrom, best_gwin_i), 0)
+    out_pos = jnp.where(has, jnp.take(win_pos, best_gwin_i), 0)
+    return (out_ori, out_ham, out_shift, out_chrom, out_pos, best_gwin_i,
+            has, ori, pair_drops)
+
+
 @partial(jax.jit, static_argnames=("ws",))
 def window_bases_device(genome_concat: jnp.ndarray, gstart: jnp.ndarray,
                         ws: int) -> jnp.ndarray:
@@ -420,89 +521,10 @@ class CoarseMapper:
         ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
 
-        # expand to pairs [B*K]
-        gwin = ids.reshape(-1)
-        pair_valid = gwin != jnp.uint32(0xFFFFFFFF)
-        gwin_full = jnp.where(pair_valid, gwin, 0).astype(jnp.int32)
-        nk = b * kcap
-        kb = opts.shd_pairs_per_read_budget
-        compact = 0 < kb < kcap
-        if compact:
-            # pair compaction: at real candidate densities most [B, K]
-            # slots are padding — SHD (and its window/plane gathers) runs
-            # only on the compacted valid pairs.  Overflow beyond the
-            # budget is counted and those pairs score as SHD-rejected.
-            budget = b * kb
-            iota_p = jnp.arange(nk, dtype=jnp.int32)
-            vi = pair_valid.astype(jnp.int32)
-            rank_p = jnp.cumsum(vi) - 1
-            n_valid = jnp.sum(vi)
-            slot = jnp.where(pair_valid & (rank_p < budget), rank_p, budget)
-            pair_sel = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(
-                iota_p, mode="drop")[:budget]
-            sel_valid = jnp.arange(budget, dtype=jnp.int32) < n_valid
-            pair_drops = jnp.maximum(n_valid - budget, 0)
-        else:
-            pair_sel = jnp.arange(nk, dtype=jnp.int32)
-            sel_valid = pair_valid
-            pair_drops = jnp.int32(0)
-
-        gwin_c = jnp.take(gwin_full, pair_sel)
-        ridx = pair_sel // kcap
-        pos = jnp.take(win_pos, gwin_c)
-        chrom = jnp.take(win_chrom, gwin_c)
-        clen = jnp.take(chrom_len, chrom)
-        coff = jnp.take(chrom_offset, chrom)
-
-        rl_rep = jnp.take(read_len, ridx)
-        loc = shd.extended_window_location(pos, clen, rl_rep, opts.window_size)
-        params = shd.ShdParams(
-            window_size=opts.window_size,
-            max_ext_len=opts.window_size + opts.max_read_length,
-            max_read_len=lr,
-            max_hamming_percent=opts.max_hamming_percent)
-        hi0, lo0, hi1, lo1, pmask = shd.pack_read_planes(
-            read_bases, read_len, opts.three_n_seeding)
-        res = shd.shd_pairs_packed_planes(
-            genome_hi, genome_lo, coff + loc.start, loc.length, loc.left,
-            jnp.take(hi0, ridx, axis=0), jnp.take(lo0, ridx, axis=0),
-            jnp.take(hi1, ridx, axis=0), jnp.take(lo1, ridx, axis=0),
-            jnp.take(pmask, ridx, axis=0), rl_rep,
-            sel_valid, params, three_n=opts.three_n_seeding)
-
-        if compact:
-            tgt = jnp.where(sel_valid, pair_sel, nk)
-            ham_f = jnp.zeros((nk,), res.hamming.dtype).at[tgt].set(
-                res.hamming, mode="drop")
-            shf_f = jnp.zeros((nk,), res.shift.dtype).at[tgt].set(
-                res.shift, mode="drop")
-            ori_f = jnp.full((nk,), shd.NONE, res.orientation.dtype).at[
-                tgt].set(res.orientation, mode="drop")
-        else:
-            ham_f, shf_f, ori_f = res.hamming, res.shift, res.orientation
-
-        ham = ham_f.reshape(b, kcap)
-        shf = shf_f.reshape(b, kcap)
-        ori = ori_f.reshape(b, kcap)
-        good = ori != shd.NONE
-
-        # best per read: min hamming, then earliest window (ids ascend =>
-        # genome order; reference keeps first strictly-smaller hit,
-        # main_gpu.cu:800-812)
-        ham_m = jnp.where(good, ham, _BIG)
-        min_h = jnp.min(ham_m, axis=1, keepdims=True)
-        slot_key = jnp.where(good & (ham_m == min_h),
-                             gwin_full.reshape(b, kcap), _BIG)
-        best_slot = jnp.argmin(slot_key, axis=1)
-        has = jnp.any(good, axis=1)
-
-        take = lambda m: jnp.take_along_axis(m, best_slot[:, None], axis=1)[:, 0]
-        out_ori = jnp.where(has, take(ori).astype(jnp.int32), shd.NONE)
-        out_ham = jnp.where(has, take(ham), 0)
-        out_shift = jnp.where(has, take(shf), 0)
-        best_gwin_i = take(gwin_full.reshape(b, kcap))
-        out_chrom = jnp.where(has, jnp.take(win_chrom, best_gwin_i), 0)
-        out_pos = jnp.where(has, jnp.take(win_pos, best_gwin_i), 0)
+        (out_ori, out_ham, out_shift, out_chrom, out_pos, best_gwin_i, has,
+         ori, pair_drops) = coarse_pairs_best(
+            ids, read_bases, read_len, opts, lr, genome_hi, genome_lo,
+            win_pos, win_chrom, chrom_offset, chrom_len)
         out_gwin = jnp.where(has, best_gwin_i, -1)  # -1 == SENTINEL bits
 
         # single packed output: one device->host transfer shape per batch

@@ -149,3 +149,31 @@ def test_sharded_index_build_is_sharded():
     want = single.map_reads(bases.copy(), lens.copy())
     ori, ham, *_ = sharded.map_reads(bases.copy(), lens.copy())
     np.testing.assert_array_equal(ori, want.orientation)
+
+
+def test_sharded_budgets_match_single_device():
+    """Budgeted (pair compaction + two-tier probe) sharded step == budgeted
+    single-device engine == unbudgeted results (no overflow)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    chrom, bases, lens = _bs_data(seed=23)
+    kw = dict(
+        kmer_length=8, num_hash_functions=8, window_size=32,
+        min_table_hits=2, batchsize=8, max_hamming_percent=0.15,
+        probe_cap=8, candidates_per_read_cap=8, max_read_length=32,
+        three_n_seeding=True)
+    genome = Genome(["c0"], [chrom])
+    want = CoarseMapper(genome, ProgramOptions(**kw)).map_reads(
+        bases.copy(), lens.copy())
+
+    opts_b = ProgramOptions(**kw, shd_pairs_per_read_budget=4,
+                            probe_tail_budget_per_read=4)
+    sharded = ShardedCoarseMapper(genome, opts_b, make_mesh(2, 4))
+    ori, ham, shift, chrom_id, pos, gwin, overflow = sharded.map_reads(
+        bases.copy(), lens.copy())
+    np.testing.assert_array_equal(ori, want.orientation)
+    mapped = want.orientation != 3
+    np.testing.assert_array_equal(ham[mapped], want.hamming[mapped])
+    np.testing.assert_array_equal(pos[mapped], want.position[mapped])
+    np.testing.assert_array_equal(gwin[mapped],
+                                  want.global_window_id[mapped])
