@@ -5,8 +5,12 @@ Prints index-build time, steady mapping throughput, and accuracy of planted
 reads (exact coarse positions).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -37,7 +41,8 @@ def main():
     opts = ProgramOptions(
         kmer_length=16, num_hash_functions=16, window_size=128,
         min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
-        probe_cap=16, candidates_per_read_cap=8, max_read_length=128)
+        probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
+        shd_pairs_per_read_budget=4, probe_tail_budget_per_read=4)
     t0 = time.time()
     mapper = CoarseMapper(genome, opts)
     print(f"index build: {time.time()-t0:.1f}s, "

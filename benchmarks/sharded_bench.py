@@ -9,12 +9,14 @@ same script benches true (data x table) meshes.
 Usage: python benchmarks/sharded_bench.py [genome_mbp] [data] [table]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():

@@ -8,12 +8,14 @@ pitfalls).
 Usage: python benchmarks/stage_bench.py [genome_mbp] [--threeN]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def timeit(fn, args, n=20):

@@ -5,12 +5,14 @@ Generates a synthetic genome + coarse-mapped reads and times run_cssw
 through both backends (plus SAM+VCF write for the end-to-end number).
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from hashreadmapper_tpu.config import ProgramOptions
 from hashreadmapper_tpu.io.genome import Genome
