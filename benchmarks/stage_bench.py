@@ -53,7 +53,8 @@ def main():
         kmer_length=16, num_hash_functions=16, window_size=128,
         min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
         probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
-        three_n_seeding=three_n)
+        three_n_seeding=three_n, shd_pairs_per_read_budget=4,
+        probe_tail_budget_per_read=4)
     t0 = time.time()
     mapper = CoarseMapper(genome, opts)
     mapper.ensure_empty_drops()
@@ -100,16 +101,19 @@ def main():
                                s, v, opts.probe_cap,
                                dropped_keys=mapper.dropped,
                                bucket_start=i.bucket_start,
-                               probe_steps=i.probe_steps)
+                               probe_steps=i.probe_steps,
+                               fnc_layout=True,
+                               tail_budget=batch
+                               * opts.probe_tail_budget_per_read)
     probe_j = jax.jit(probe_fn)
     t_probe = timeit(probe_j, (sigs, vdev))
-    cand, counts = probe_j(sigs, vdev)
+    cand, counts, _drops = probe_j(sigs, vdev)
     cand = jax.block_until_ready(cand)
 
     # stage 3: vote
     def vote_fn(c):
-        return mi.vote_candidates(c, opts.min_table_hits,
-                                  opts.candidates_per_read_cap)
+        return mi.vote_candidates_fnc_auto(c, opts.min_table_hits,
+                                           opts.candidates_per_read_cap)
     vote_j = jax.jit(vote_fn)
     t_vote = timeit(vote_j, (cand,))
 

@@ -48,9 +48,18 @@ class CsrIndex:
     # optional radix probe directory (build_probe_buckets)
     bucket_start: Optional[jnp.ndarray] = None
     probe_steps: int = 0
+    bucket_bits: int = 16
 
     def build_buckets(self) -> None:
-        self.bucket_start = build_probe_buckets(self.keys, self.num_keys)
+        # size the radix directory so buckets average ~2 keys: the probe's
+        # binary search then needs only 1-3 gather passes regardless of
+        # index scale (a 2.2M-key chr1 table at the old fixed 16 bits cost
+        # 6-7 passes).  Capped at 22 bits (dir = F x 16 MB) — small next to
+        # the value arrays it accelerates.
+        n_keys = max(1, int(jnp.max(self.num_keys)))
+        self.bucket_bits = int(np.clip(np.ceil(np.log2(n_keys)), 12, 22))
+        self.bucket_start = build_probe_buckets(self.keys, self.num_keys,
+                                                self.bucket_bits)
         sizes = self.bucket_start[:, 1:] - self.bucket_start[:, :-1]
         max_bucket = int(jnp.max(sizes))
         self.probe_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
@@ -227,21 +236,20 @@ def _row_searchsorted(keys_row: jnp.ndarray, queries: jnp.ndarray
     return jnp.searchsorted(keys_row, queries, side="left")
 
 
-BUCKET_BITS = 16
+BUCKET_BITS = 16   # default directory width (CsrIndex.build_buckets adapts)
 
 
-def build_probe_buckets(keys: jnp.ndarray, num_keys: jnp.ndarray
-                        ) -> jnp.ndarray:
-    """Per-table first-level radix directory over the top BUCKET_BITS bits.
+def build_probe_buckets(keys: jnp.ndarray, num_keys: jnp.ndarray,
+                        bits: int = BUCKET_BITS) -> jnp.ndarray:
+    """Per-table first-level radix directory over the top `bits` bits.
 
     bucket_start[f, b] = index of the first key in table f whose top bits
-    are >= b; bucket_start[f, 2^BITS] = num_keys[f].  Narrows the probe's
+    are >= b; bucket_start[f, 2^bits] = num_keys[f].  Narrows the probe's
     binary search from log2(U) to log2(max bucket size) gather steps.
     Built on device (one vmapped searchsorted per table).
     """
     f, u = keys.shape
-    tops = jnp.arange((1 << BUCKET_BITS) + 1, dtype=jnp.uint32) << (
-        32 - BUCKET_BITS)
+    tops = jnp.arange((1 << bits) + 1, dtype=jnp.uint32) << (32 - bits)
     # search each boundary value in each table's key row
     starts = jax.vmap(lambda kr: jnp.searchsorted(kr, tops[:-1], side="left")
                       )(keys)
@@ -253,9 +261,11 @@ def _bucketed_lower_bound(keys: jnp.ndarray, bucket_start: jnp.ndarray,
                           queries: jnp.ndarray, steps: int) -> jnp.ndarray:
     """Branchless lower_bound per (table, query) with a radix head start.
 
-    keys: [F, U]; bucket_start: [F, 2^BITS + 1]; queries: [F, N].
+    keys: [F, U]; bucket_start: [F, 2^bits + 1]; queries: [F, N].  The
+    directory width is recovered from bucket_start's static shape.
     """
-    b = (queries >> (32 - BUCKET_BITS)).astype(jnp.int32)
+    bits = int(bucket_start.shape[1] - 1).bit_length() - 1
+    b = (queries >> (32 - bits)).astype(jnp.int32)
     lo = jnp.take_along_axis(bucket_start, b, axis=1)
     hi = jnp.take_along_axis(bucket_start, b + 1, axis=1)
     for _ in range(steps):

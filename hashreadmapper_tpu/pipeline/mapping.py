@@ -455,47 +455,63 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             pending.append((s, e, swdev.ssw_score_dispatch(
                 sl(pair_q, 4), sl(pair_rl, 1), sl(pair_ref, 4),
                 sl(pair_fl, 1), sl(pair_ml, 15))))
-        for s, e, packed_dev in pending:
-            res = swdev.ssw_score_collect(packed_dev)
-            for k in dev:
-                dev[k][s:e] = res[k][:e - s]
 
-        _mark("device_score")
-        fb = dev["host_fallback"]
-        dg = dev["degenerate"] & ~fb
-        fin = np.nonzero(~fb & ~dg)[0]
         als: List[Optional[sw.Alignment]] = [None] * P
+        mk = sw.Alignment
 
-        # native finish in blocks (keeps pool offsets within int32)
-        devl = {k: dev[k].tolist() for k in fields}  # C-speed int conversion
-        fin_block = 1 << 16
-        for b0 in range(0, len(fin), fin_block):
-            fb_idx = fin[b0:b0 + fin_block]
-            nf = len(fb_idx)
+        def finish_range(s, e):
+            """Banded CIGAR finish for pairs [s, e) (disjoint ranges, so
+            safe to run concurrently with later chunks' collection — the
+            reference overlaps its streams the same way,
+            gpuminhasherconstruction.cu:89-108)."""
+            fb_r = dev["host_fallback"][s:e]
+            dg_r = dev["degenerate"][s:e] & ~fb_r
+            fin = np.nonzero(~fb_r & ~dg_r)[0] + s
+            nf = len(fin)
+            if nf == 0:
+                return
             cigars, mism, flags = native.ssw_finish_batch(
-                pair_q[fb_idx].tobytes(),
-                np.arange(nf, dtype=np.int64) * lq, pair_rl[fb_idx],
-                pair_ref[fb_idx].tobytes(),
-                np.arange(nf, dtype=np.int64) * ws, pair_fl[fb_idx],
-                dev["score1"][fb_idx], dev["ref_begin"][fb_idx],
-                dev["ref_end"][fb_idx], dev["query_begin"][fb_idx],
-                dev["query_end"][fb_idx], dev["flag"][fb_idx],
+                pair_q[fin].tobytes(),
+                np.arange(nf, dtype=np.int64) * lq, pair_rl[fin],
+                pair_ref[fin].tobytes(),
+                np.arange(nf, dtype=np.int64) * ws, pair_fl[fin],
+                dev["score1"][fin], dev["ref_begin"][fin],
+                dev["ref_end"][fin], dev["query_begin"][fin],
+                dev["query_end"][fin], dev["flag"][fin],
                 threads=max(1, opts.threads), codes=True)
             mism_l = mism.tolist()
             flags_l = flags.tolist()
-            s1l, s2l = devl["score1"], devl["score2"]
-            rbl, rel, re2l = (devl["ref_begin"], devl["ref_end"],
-                              devl["ref_end2"])
-            qbl, qel = devl["query_begin"], devl["query_end"]
-            mk = sw.Alignment
-            for j, pi in enumerate(fb_idx.tolist()):
+            s1l = dev["score1"][fin].tolist()
+            s2l = dev["score2"][fin].tolist()
+            rbl = dev["ref_begin"][fin].tolist()
+            rel = dev["ref_end"][fin].tolist()
+            re2l = dev["ref_end2"][fin].tolist()
+            qbl = dev["query_begin"][fin].tolist()
+            qel = dev["query_end"][fin].tolist()
+            for j, pi in enumerate(fin.tolist()):
                 als[pi] = mk(
-                    sw_score=s1l[pi], sw_score_next_best=s2l[pi],
-                    ref_begin=rbl[pi], ref_end=rel[pi],
-                    query_begin=qbl[pi], query_end=qel[pi],
-                    ref_end_next_best=re2l[pi],
+                    sw_score=s1l[j], sw_score_next_best=s2l[j],
+                    ref_begin=rbl[j], ref_end=rel[j],
+                    query_begin=qbl[j], query_end=qel[j],
+                    ref_end_next_best=re2l[j],
                     mismatches=mism_l[j], cigar_string=cigars[j],
                     flag=flags_l[j])
+
+        # collect each chunk, finishing it on CPU while the device still
+        # computes / transfers the later chunks
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = []
+            for s, e, packed_dev in pending:
+                res = swdev.ssw_score_collect(packed_dev)
+                for k in dev:
+                    dev[k][s:e] = res[k][:e - s]
+                futs.append(ex.submit(finish_range, s, e))
+            _mark("device_score")
+            for f in futs:
+                f.result()
+        fb = dev["host_fallback"]
+        dg = dev["degenerate"] & ~fb
         _mark("native_finish")
         for pi in np.nonzero(dg)[0]:
             # ssw_align's early return (score 0): score-only result
