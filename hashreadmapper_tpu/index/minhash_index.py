@@ -400,11 +400,11 @@ def vote_candidates_fnc_auto(cand_fnc: jnp.ndarray, min_table_hits: int,
     fallback elsewhere / at shapes the kernel does not take."""
     f, n, c = cand_fnc.shape
     f2c = (1 << max(f - 1, 0).bit_length()) * c
-    # the kernel's unrolled merge stages live on the VMEM stack: ~20 KB per
-    # merge row; 512 rows (the production probe_cap 16 x 32-table shape)
-    # measured ~10 MB of the 16 MB scoped limit, 2048 rows OOMs
+    # kernel stage temporaries round-trip VMEM scratch, so the footprint is
+    # a few [m, 128] buffers; m=2048 (the CLI-default probe_cap 64 x 32
+    # tables) measured fine, 17x the XLA merge tree there
     if (jax.default_backend() == "tpu" and n % 128 == 0 and c > 0
-            and c & (c - 1) == 0 and f2c <= 512):
+            and c & (c - 1) == 0 and f2c <= 2048):
         from ..ops import vote_pallas
         return vote_pallas.vote_candidates_fnc(
             cand_fnc, min_table_hits, out_cap)

@@ -46,42 +46,31 @@ def _shift_down(x, k, fill):
         [jnp.full((k,) + x.shape[1:], fill, x.dtype), x[:-k]], axis=0)
 
 
-def _bitonic_merge_rows(y, w):
-    """One bitonic merge level over row-blocks of width w: [m, L] -> [m, L].
-
-    Input: adjacent w-blocks alternately ascending/descending (so each
-    2w-block is bitonic).  Output: 2w-blocks sorted ascending at even block
-    index, descending at odd — ready for the next level; a single final
-    block comes out ascending.  Mosaic has no `rev` lowering, so instead of
-    the concat-with-reversed form the direction is a per-block mask
-    (min/max swapped via `where`) — every stage stays plain row slicing.
-    """
-    m, lanes = y.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    asc = (iota // (2 * w)) % 2 == 0                    # [m, 1]
-    s = w
-    while s >= 1:
-        zz = y.reshape(m // (2 * s), 2, s, lanes)
-        am = asc.reshape(m // (2 * s), 2, s, 1)[:, 0]
-        lo = jnp.minimum(zz[:, 0], zz[:, 1])
-        hi = jnp.maximum(zz[:, 0], zz[:, 1])
-        first = jnp.where(am, lo, hi)
-        second = jnp.where(am, hi, lo)
-        y = jnp.concatenate([first[:, None], second[:, None]],
-                            axis=1).reshape(m, lanes)
-        s //= 2
-    return y
-
-
-def _vote_kernel(cand_ref, ids_ref, cnt_ref, *, f2: int, c: int,
-                 min_hits: int, out_cap: int):
+def _vote_kernel(cand_ref, ids_ref, cnt_ref, scratch_ref, scratch2_ref, *,
+                 f2: int, c: int, min_hits: int, out_cap: int):
     m = f2 * c
     y = cand_ref[...]                                   # [m, 128] int32
 
-    # merge tree: F2 ascending C-lists -> fully ascending m rows
+    # merge tree: F2 ascending C-lists -> fully ascending m rows.  Every
+    # compare-exchange stage round-trips through the VMEM scratch ref so
+    # Mosaic reuses ONE buffer instead of stacking all ~35 unrolled stage
+    # temporaries (which OOMed scoped vmem above 512 rows).
     w = c
     while w < m:
-        y = _bitonic_merge_rows(y, w)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        asc = (iota // (2 * w)) % 2 == 0
+        s = w
+        while s >= 1:
+            zz = y.reshape(m // (2 * s), 2, s, LANES)
+            am = asc.reshape(m // (2 * s), 2, s, 1)[:, 0]
+            lo = jnp.minimum(zz[:, 0], zz[:, 1])
+            hi = jnp.maximum(zz[:, 0], zz[:, 1])
+            first = jnp.where(am, lo, hi)
+            second = jnp.where(am, hi, lo)
+            scratch_ref[...] = jnp.concatenate(
+                [first[:, None], second[:, None]], axis=1).reshape(m, LANES)
+            y = scratch_ref[...]
+            s //= 2
         w *= 2
 
     # run-length vote (same formulas as vote_candidates)
@@ -90,11 +79,14 @@ def _vote_kernel(cand_ref, ids_ref, cnt_ref, *, f2: int, c: int,
     prev = _shift_down(y, 1, sentf)
     is_start = ((y != prev) | (iota == 0)) & (y != sentf)
     start_pos = jnp.where(is_start | (y == sentf), iota, jnp.int32(m))
-    # suffix min of start_pos, then shift to "next boundary after i"
+    # suffix min of start_pos, then shift to "next boundary after i".
+    # Both log-step scans round-trip scratch2 for the same liveness reason
+    # as the merge stages.
     sm = start_pos
     k = 1
     while k < m:
-        sm = jnp.minimum(sm, _shift_up(sm, k, jnp.int32(m)))
+        scratch2_ref[...] = jnp.minimum(sm, _shift_up(sm, k, jnp.int32(m)))
+        sm = scratch2_ref[...]
         k *= 2
     nxt = _shift_up(sm, 1, jnp.int32(m))
     run_len = nxt - iota
@@ -104,7 +96,8 @@ def _vote_kernel(cand_ref, ids_ref, cnt_ref, *, f2: int, c: int,
     ps = ki
     k = 1
     while k < m:
-        ps = ps + _shift_down(ps, k, jnp.int32(0))
+        scratch2_ref[...] = ps + _shift_down(ps, k, jnp.int32(0))
+        ps = scratch2_ref[...]
         k *= 2
     rank = ps - 1
     num_kept = jnp.max(jnp.where(keep, rank + 1, 0), axis=0)   # [128]
@@ -163,6 +156,8 @@ def vote_candidates_fnc(cand_fnc: jnp.ndarray, min_table_hits: int,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((out_cap, n), jnp.int32),
                    jax.ShapeDtypeStruct((out_cap + 1, n), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((m, LANES), jnp.int32),
+                        pltpu.VMEM((m, LANES), jnp.int32)],
         interpret=interpret,
     )(rows)
 
