@@ -164,7 +164,8 @@ class RegionShardedMapper:
             chromosome_id=np.zeros(n, dtype=np.int32),
             position=np.zeros(n, dtype=np.int32),
             global_window_id=np.full(n, SENTINEL, dtype=np.uint32),
-            stats={"probe_overflow": 0, "vote_overflow": 0})
+            stats={"probe_overflow": 0, "vote_overflow": 0,
+                   "pair_budget_overflow": 0, "probe_tail_overflow": 0})
         best_key = np.full(n, 2**62, dtype=np.int64)
         # region-sharded global ordinals exceed uint32 for >2 Gbp genomes;
         # expose the full-width ordinal alongside the uint32 field
@@ -191,6 +192,8 @@ class RegionShardedMapper:
             ovf = np.asarray(ovf_dev)
             out.stats["probe_overflow"] += int(ovf[0])
             out.stats["vote_overflow"] += int(ovf[1])
+            out.stats["pair_budget_overflow"] += int(ovf[2])
+            out.stats["probe_tail_overflow"] += int(ovf[3])
             key, payload, gwin_global = region_key_payload(
                 mapper, packed, self.chrom_gwin_base)
             better = key < best_key

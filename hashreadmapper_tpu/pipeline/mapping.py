@@ -390,205 +390,217 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         wlens[rows] = wl
 
     _mark("array_prep")
-    q_ascii = _B4[fwd_mat]
-    rcq_ascii = _B4[rcq_mat]
-    # one bulk decode per matrix; per-read strings are C-level slices (the
-    # RC/3N variants are lazy properties, never built here)
-    q_all = q_ascii.tobytes().decode("latin1")
-    win_all = win.tobytes().decode("latin1")
-    win_rc_all = win_rc.tobytes().decode("latin1")
-    lens_l = lens32.tolist()
-    wlens_l = wlens.tolist()
-    pos_l = position.tolist()
-    chrom_l = chromosome_id.tolist()
-    unmapped_l = (orientation == NONE).tolist()
-    out: List[AlignerArguments] = []
-    for r in range(n):
-        rl = lens_l[r]
-        wlen = wlens_l[r]
-        aa = AlignerArguments()
-        aa.read_id = r
-        aa.query = q_all[r * lq:r * lq + rl]
-        aa.ref = win_all[r * ws:r * ws + wlen]
-        aa.rc_ref = win_rc_all[r * ws:r * ws + wlen]
-        aa.window_length = wlen
-        aa.position = pos_l[r]
-        aa.chromosome_id = chrom_l[r]
-        aa.mask_len = rl // 2 if rl >= 30 else 15
-        aa.alignments = [sw.Alignment(), sw.Alignment()]
-        aa.num_conversions = [0, 0]
-        if unmapped_l[r]:
-            aa.flag |= 0x4
-        out.append(aa)
 
-    _mark("aa_build")
+    def build_out():
+        """Per-read AlignerArguments (strings + records) — independent of
+        the device scores, so it runs on a worker thread while the score
+        chunks are collected/finished."""
+        q_ascii = _B4[fwd_mat]
+        rcq_ascii = _B4[rcq_mat]
+        # one bulk decode per matrix; per-read strings are C-level slices
+        # (the RC/3N variants are lazy properties, never built here)
+        q_all = q_ascii.tobytes().decode("latin1")
+        win_all = win.tobytes().decode("latin1")
+        win_rc_all = win_rc.tobytes().decode("latin1")
+        lens_l = lens32.tolist()
+        wlens_l = wlens.tolist()
+        pos_l = position.tolist()
+        chrom_l = chromosome_id.tolist()
+        unmapped_l = (orientation == NONE).tolist()
+        built: List[AlignerArguments] = []
+        for r in range(n):
+            rl = lens_l[r]
+            wlen = wlens_l[r]
+            aa = AlignerArguments()
+            aa.read_id = r
+            aa.query = q_all[r * lq:r * lq + rl]
+            aa.ref = win_all[r * ws:r * ws + wlen]
+            aa.rc_ref = win_rc_all[r * ws:r * ws + wlen]
+            aa.window_length = wlen
+            aa.position = pos_l[r]
+            aa.chromosome_id = chrom_l[r]
+            aa.mask_len = rl // 2 if rl >= 30 else 15
+            aa.alignments = [sw.Alignment(), sw.Alignment()]
+            aa.num_conversions = [0, 0]
+            if unmapped_l[r]:
+                aa.flag |= 0x4
+            built.append(aa)
+        return built, q_ascii, rcq_ascii
+
     m = np.nonzero(orientation != NONE)[0]
     nm = len(m)
-    if nm:
-        # device pairs: [2i] = 3N query, [2i+1] = 3N RC query, same 3N ref
-        q3n = np.where(fwd_mat == 1, 3, fwd_mat).astype(np.int8)
-        rcq3n = np.where(rcq_mat == 1, 3, rcq_mat).astype(np.int8)
-        ref3n = sw.TRANSLATE[win].astype(np.int8)
-        ref3n = np.where(ref3n == 1, 3, ref3n)
-        P = 2 * nm
-        pair_q = np.empty((P, lq), np.int8)
-        pair_q[0::2] = q3n[m]
-        pair_q[1::2] = rcq3n[m]
-        pair_ref = np.repeat(ref3n[m], 2, axis=0)
-        pair_rl = np.repeat(lens[m], 2).astype(np.int32)
-        pair_fl = np.repeat(wlens[m], 2).astype(np.int32)
-        pair_ml = np.repeat(np.maximum(15, lens[m] // 2), 2).astype(np.int32)
+    if nm == 0:
+        out, q_ascii, rcq_ascii = build_out()
+        _mark("aa_build")
+        return out
+    # device pairs: [2i] = 3N query, [2i+1] = 3N RC query, same 3N ref
+    q3n = np.where(fwd_mat == 1, 3, fwd_mat).astype(np.int8)
+    rcq3n = np.where(rcq_mat == 1, 3, rcq_mat).astype(np.int8)
+    ref3n = sw.TRANSLATE[win].astype(np.int8)
+    ref3n = np.where(ref3n == 1, 3, ref3n)
+    P = 2 * nm
+    pair_q = np.empty((P, lq), np.int8)
+    pair_q[0::2] = q3n[m]
+    pair_q[1::2] = rcq3n[m]
+    pair_ref = np.repeat(ref3n[m], 2, axis=0)
+    pair_rl = np.repeat(lens[m], 2).astype(np.int32)
+    pair_fl = np.repeat(wlens[m], 2).astype(np.int32)
+    pair_ml = np.repeat(np.maximum(15, lens[m] // 2), 2).astype(np.int32)
 
-        chunk = max(256, int(opts.step2_pair_chunk))
-        fields = ("score1", "score2", "ref_end", "ref_end2", "query_end",
-                  "ref_begin", "query_begin", "flag")
-        dev = {k: np.empty(P, np.int32) for k in fields}
-        dev["host_fallback"] = np.empty(P, bool)
-        dev["degenerate"] = np.empty(P, bool)
-        pending = []
-        for s in range(0, P, chunk):
-            e = min(s + chunk, P)
-            pad = chunk - (e - s)
-            sl = lambda a, fill: (np.concatenate(
-                [a[s:e], np.full((pad,) + a.shape[1:], fill, a.dtype)])
-                if pad else a[s:e])
-            pending.append((s, e, swdev.ssw_score_dispatch(
-                sl(pair_q, 4), sl(pair_rl, 1), sl(pair_ref, 4),
-                sl(pair_fl, 1), sl(pair_ml, 15))))
+    chunk = max(256, int(opts.step2_pair_chunk))
+    fields = ("score1", "score2", "ref_end", "ref_end2", "query_end",
+              "ref_begin", "query_begin", "flag")
+    dev = {k: np.empty(P, np.int32) for k in fields}
+    dev["host_fallback"] = np.empty(P, bool)
+    dev["degenerate"] = np.empty(P, bool)
+    pending = []
+    for s in range(0, P, chunk):
+        e = min(s + chunk, P)
+        pad = chunk - (e - s)
+        sl = lambda a, fill: (np.concatenate(
+            [a[s:e], np.full((pad,) + a.shape[1:], fill, a.dtype)])
+            if pad else a[s:e])
+        pending.append((s, e, swdev.ssw_score_dispatch(
+            sl(pair_q, 4), sl(pair_rl, 1), sl(pair_ref, 4),
+            sl(pair_fl, 1), sl(pair_ml, 15))))
 
-        als: List[Optional[sw.Alignment]] = [None] * P
-        mk = sw.Alignment
+    als: List[Optional[sw.Alignment]] = [None] * P
+    mk = sw.Alignment
 
-        def finish_range(s, e):
-            """Banded CIGAR finish for pairs [s, e) (disjoint ranges, so
-            safe to run concurrently with later chunks' collection — the
-            reference overlaps its streams the same way,
-            gpuminhasherconstruction.cu:89-108)."""
-            fb_r = dev["host_fallback"][s:e]
-            dg_r = dev["degenerate"][s:e] & ~fb_r
-            fin = np.nonzero(~fb_r & ~dg_r)[0] + s
-            nf = len(fin)
-            if nf == 0:
-                return
-            cigars, mism, flags = native.ssw_finish_batch(
-                pair_q[fin].tobytes(),
-                np.arange(nf, dtype=np.int64) * lq, pair_rl[fin],
-                pair_ref[fin].tobytes(),
-                np.arange(nf, dtype=np.int64) * ws, pair_fl[fin],
-                dev["score1"][fin], dev["ref_begin"][fin],
-                dev["ref_end"][fin], dev["query_begin"][fin],
-                dev["query_end"][fin], dev["flag"][fin],
-                threads=max(1, opts.threads), codes=True)
-            mism_l = mism.tolist()
-            flags_l = flags.tolist()
-            s1l = dev["score1"][fin].tolist()
-            s2l = dev["score2"][fin].tolist()
-            rbl = dev["ref_begin"][fin].tolist()
-            rel = dev["ref_end"][fin].tolist()
-            re2l = dev["ref_end2"][fin].tolist()
-            qbl = dev["query_begin"][fin].tolist()
-            qel = dev["query_end"][fin].tolist()
-            for j, pi in enumerate(fin.tolist()):
-                als[pi] = mk(
-                    sw_score=s1l[j], sw_score_next_best=s2l[j],
-                    ref_begin=rbl[j], ref_end=rel[j],
-                    query_begin=qbl[j], query_end=qel[j],
-                    ref_end_next_best=re2l[j],
-                    mismatches=mism_l[j], cigar_string=cigars[j],
-                    flag=flags_l[j])
+    def finish_range(s, e):
+        """Banded CIGAR finish for pairs [s, e) (disjoint ranges, so
+        safe to run concurrently with later chunks' collection — the
+        reference overlaps its streams the same way,
+        gpuminhasherconstruction.cu:89-108)."""
+        fb_r = dev["host_fallback"][s:e]
+        dg_r = dev["degenerate"][s:e] & ~fb_r
+        fin = np.nonzero(~fb_r & ~dg_r)[0] + s
+        nf = len(fin)
+        if nf == 0:
+            return
+        cigars, mism, flags = native.ssw_finish_batch(
+            pair_q[fin].tobytes(),
+            np.arange(nf, dtype=np.int64) * lq, pair_rl[fin],
+            pair_ref[fin].tobytes(),
+            np.arange(nf, dtype=np.int64) * ws, pair_fl[fin],
+            dev["score1"][fin], dev["ref_begin"][fin],
+            dev["ref_end"][fin], dev["query_begin"][fin],
+            dev["query_end"][fin], dev["flag"][fin],
+            threads=max(1, opts.threads), codes=True)
+        mism_l = mism.tolist()
+        flags_l = flags.tolist()
+        s1l = dev["score1"][fin].tolist()
+        s2l = dev["score2"][fin].tolist()
+        rbl = dev["ref_begin"][fin].tolist()
+        rel = dev["ref_end"][fin].tolist()
+        re2l = dev["ref_end2"][fin].tolist()
+        qbl = dev["query_begin"][fin].tolist()
+        qel = dev["query_end"][fin].tolist()
+        for j, pi in enumerate(fin.tolist()):
+            als[pi] = mk(
+                sw_score=s1l[j], sw_score_next_best=s2l[j],
+                ref_begin=rbl[j], ref_end=rel[j],
+                query_begin=qbl[j], query_end=qel[j],
+                ref_end_next_best=re2l[j],
+                mismatches=mism_l[j], cigar_string=cigars[j],
+                flag=flags_l[j])
 
-        # collect each chunk, finishing it on CPU while the device still
-        # computes / transfers the later chunks
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            futs = []
-            for s, e, packed_dev in pending:
-                res = swdev.ssw_score_collect(packed_dev)
-                for k in dev:
-                    dev[k][s:e] = res[k][:e - s]
-                futs.append(ex.submit(finish_range, s, e))
-            _mark("device_score")
-            for f in futs:
-                f.result()
-        fb = dev["host_fallback"]
-        dg = dev["degenerate"] & ~fb
-        _mark("native_finish")
-        for pi in np.nonzero(dg)[0]:
-            # ssw_align's early return (score 0): score-only result
-            als[pi] = sw.Alignment(
-                sw_score=int(dev["score1"][pi]),
-                sw_score_next_best=int(dev["score2"][pi]),
-                ref_begin=-1, ref_end=int(dev["ref_end"][pi]),
-                query_begin=-1, query_end=int(dev["query_end"][pi]),
-                ref_end_next_best=int(dev["ref_end2"][pi]))
-        for pi in np.nonzero(fb)[0]:
-            # byte saturation -> host word-mode rerun (align/sw.py:379-388)
-            q = _B5[pair_q[pi, :pair_rl[pi]]].tobytes().decode("latin1")
-            w = _B5[pair_ref[pi, :pair_fl[pi]]].tobytes().decode("latin1")
-            als[pi] = sw.ssw_align(q, w, int(pair_ml[pi]))
+    # collect each chunk, finishing it on CPU while the device still
+    # computes / transfers the later chunks; the AlignerArguments
+    # build (pure Python, score-independent) runs on a second worker
+    # during the same window
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        aa_fut = ex.submit(build_out)
+        futs = []
+        for s, e, packed_dev in pending:
+            res = swdev.ssw_score_collect(packed_dev)
+            for k in dev:
+                dev[k][s:e] = res[k][:e - s]
+            futs.append(ex.submit(finish_range, s, e))
+        _mark("device_score")
+        for f in futs:
+            f.result()
+        out, q_ascii, rcq_ascii = aa_fut.result()
+    fb = dev["host_fallback"]
+    dg = dev["degenerate"] & ~fb
+    _mark("native_finish")
+    for pi in np.nonzero(dg)[0]:
+        # ssw_align's early return (score 0): score-only result
+        als[pi] = sw.Alignment(
+            sw_score=int(dev["score1"][pi]),
+            sw_score_next_best=int(dev["score2"][pi]),
+            ref_begin=-1, ref_end=int(dev["ref_end"][pi]),
+            query_begin=-1, query_end=int(dev["query_end"][pi]),
+            ref_end_next_best=int(dev["ref_end2"][pi]))
+    for pi in np.nonzero(fb)[0]:
+        # byte saturation -> host word-mode rerun (align/sw.py:379-388)
+        q = _B5[pair_q[pi, :pair_rl[pi]]].tobytes().decode("latin1")
+        w = _B5[pair_ref[pi, :pair_fl[pi]]].tobytes().decode("latin1")
+        als[pi] = sw.ssw_align(q, w, int(pair_ml[pi]))
 
-        _mark("fallback_pairs")
-        for i, r in enumerate(m):
+    _mark("fallback_pairs")
+    for i, r in enumerate(m):
+        aa = out[r]
+        aa.alignments[0] = als[2 * i]
+        aa.flag = als[2 * i].flag
+        aa.alignments[1] = als[2 * i + 1]
+        aa.flag_rc = als[2 * i + 1].flag
+
+    # native batched rescoring (comparefk, mappinghandler.cu:747-766):
+    # alignment h=0 rescored against rc_query, h=1 against query (the
+    # reference's `if (!h)` swap)
+    _mark("aa_assign")
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "hrm_rescore_batch"):
+        na = 2 * nm
+        qa = np.empty((na, lq), np.uint8)
+        qa[0::2] = rcq_ascii[m]
+        qa[1::2] = q_ascii[m]
+        qa_len = np.repeat(lens[m], 2).astype(np.int32)
+        ref_rows = np.repeat(win[m], 2, axis=0)
+        rcref_rows = np.repeat(win_rc[m], 2, axis=0)
+        wl2 = np.repeat(wlens[m], 2).astype(np.int32)
+        cigs = [als[k].cigar_string for k in range(na)]
+        cig_pool = "".join(cigs).encode("latin1")
+        cig_len = np.array([len(c) for c in cigs], np.int32)
+        cig_off = np.zeros(na, np.int64)
+        np.cumsum(cig_len[:-1], out=cig_off[1:])
+        sw_arr = np.array([als[k].sw_score for k in range(na)], np.int32)
+        nb_arr = np.array([als[k].sw_score_next_best for k in range(na)],
+                          np.int32)
+        block = 1 << 17   # keeps int32 pool offsets safe
+        conv = np.empty(na, np.int32)
+        for b0 in range(0, na, block):
+            b1 = min(b0 + block, na)
+            nb_ = b1 - b0
+            conv[b0:b1] = native.rescore_batch(
+                qa[b0:b1].tobytes(),
+                np.arange(nb_, dtype=np.int64) * lq, qa_len[b0:b1],
+                ref_rows[b0:b1].tobytes(),
+                np.arange(nb_, dtype=np.int64) * ws, wl2[b0:b1],
+                rcref_rows[b0:b1].tobytes(),
+                np.arange(nb_, dtype=np.int64) * ws, wl2[b0:b1],
+                cig_pool[int(cig_off[b0]):int(cig_off[b1 - 1]
+                                              + cig_len[b1 - 1])],
+                cig_off[b0:b1] - cig_off[b0], cig_len[b0:b1],
+                sw_arr[b0:b1], nb_arr[b0:b1],
+                threads=max(1, opts.threads))
+        sw_l, nb_l, conv_l = sw_arr.tolist(), nb_arr.tolist(), conv.tolist()
+        for i, r in enumerate(m.tolist()):
             aa = out[r]
-            aa.alignments[0] = als[2 * i]
-            aa.flag = als[2 * i].flag
-            aa.alignments[1] = als[2 * i + 1]
-            aa.flag_rc = als[2 * i + 1].flag
-
-        # native batched rescoring (comparefk, mappinghandler.cu:747-766):
-        # alignment h=0 rescored against rc_query, h=1 against query (the
-        # reference's `if (!h)` swap)
-        _mark("aa_assign")
-        lib = native.get_lib()
-        if lib is not None and hasattr(lib, "hrm_rescore_batch"):
-            na = 2 * nm
-            qa = np.empty((na, lq), np.uint8)
-            qa[0::2] = rcq_ascii[m]
-            qa[1::2] = q_ascii[m]
-            qa_len = np.repeat(lens[m], 2).astype(np.int32)
-            ref_rows = np.repeat(win[m], 2, axis=0)
-            rcref_rows = np.repeat(win_rc[m], 2, axis=0)
-            wl2 = np.repeat(wlens[m], 2).astype(np.int32)
-            cigs = [als[k].cigar_string for k in range(na)]
-            cig_pool = "".join(cigs).encode("latin1")
-            cig_len = np.array([len(c) for c in cigs], np.int32)
-            cig_off = np.zeros(na, np.int64)
-            np.cumsum(cig_len[:-1], out=cig_off[1:])
-            sw_arr = np.array([als[k].sw_score for k in range(na)], np.int32)
-            nb_arr = np.array([als[k].sw_score_next_best for k in range(na)],
-                              np.int32)
-            block = 1 << 17   # keeps int32 pool offsets safe
-            conv = np.empty(na, np.int32)
-            for b0 in range(0, na, block):
-                b1 = min(b0 + block, na)
-                nb_ = b1 - b0
-                conv[b0:b1] = native.rescore_batch(
-                    qa[b0:b1].tobytes(),
-                    np.arange(nb_, dtype=np.int64) * lq, qa_len[b0:b1],
-                    ref_rows[b0:b1].tobytes(),
-                    np.arange(nb_, dtype=np.int64) * ws, wl2[b0:b1],
-                    rcref_rows[b0:b1].tobytes(),
-                    np.arange(nb_, dtype=np.int64) * ws, wl2[b0:b1],
-                    cig_pool[int(cig_off[b0]):int(cig_off[b1 - 1]
-                                                  + cig_len[b1 - 1])],
-                    cig_off[b0:b1] - cig_off[b0], cig_len[b0:b1],
-                    sw_arr[b0:b1], nb_arr[b0:b1],
-                    threads=max(1, opts.threads))
-            sw_l, nb_l, conv_l = sw_arr.tolist(), nb_arr.tolist(), conv.tolist()
-            for i, r in enumerate(m.tolist()):
-                aa = out[r]
-                a0, a1 = aa.alignments
-                a0.sw_score = sw_l[2 * i]
-                a0.sw_score_next_best = nb_l[2 * i]
-                a1.sw_score = sw_l[2 * i + 1]
-                a1.sw_score_next_best = nb_l[2 * i + 1]
-                aa.num_conversions[0] = conv_l[2 * i]
-                aa.num_conversions[1] = conv_l[2 * i + 1]
-            _mark("rescore")
-            if _marks is not None:
-                for (l0, t0), (l1, t1) in zip(_marks, _marks[1:]):
-                    print(f"STEP2 {l1}: {t1 - t0:.3f}s", flush=True)
-            return out
+            a0, a1 = aa.alignments
+            a0.sw_score = sw_l[2 * i]
+            a0.sw_score_next_best = nb_l[2 * i]
+            a1.sw_score = sw_l[2 * i + 1]
+            a1.sw_score_next_best = nb_l[2 * i + 1]
+            aa.num_conversions[0] = conv_l[2 * i]
+            aa.num_conversions[1] = conv_l[2 * i + 1]
+        _mark("rescore")
+        if _marks is not None:
+            for (l0, t0), (l1, t1) in zip(_marks, _marks[1:]):
+                print(f"STEP2 {l1}: {t1 - t0:.3f}s", flush=True)
+        return out
 
     for aa in out:
         if aa.flag & 0x4:
