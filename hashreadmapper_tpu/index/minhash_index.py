@@ -49,6 +49,13 @@ class CsrIndex:
     bucket_start: Optional[jnp.ndarray] = None
     probe_steps: int = 0
     bucket_bits: int = 16
+    # optional cuckoo direct-probe table (build_cuckoo): a query costs two
+    # key gathers + one packed (offset, count) gather instead of
+    # log2(bucket) binary-search passes
+    cuckoo_keys: Optional[jnp.ndarray] = None      # [F, 2^bits] uint32
+    cuckoo_payload: Optional[jnp.ndarray] = None   # [F, 2^bits] off<<10|cnt
+    cuckoo_bits: int = 0
+    cuckoo_seeds: Tuple[int, int] = (0, 0)
 
     def build_buckets(self) -> None:
         # size the radix directory so buckets average ~2 keys: the probe's
@@ -64,13 +71,72 @@ class CsrIndex:
         max_bucket = int(jnp.max(sizes))
         self.probe_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
 
+    def build_cuckoo(self) -> bool:
+        """Host-built 2-choice cuckoo slot table over the CSR keys.
+
+        The TPU-shaped analog of the reference's warpcore open addressing
+        (gpuhashtable.cuh:726-833): slots are assigned once on the host
+        (native/cuckoo.cpp — kicking is sequential) and queried with three
+        fixed-shape vector gathers.  The payload packs (value offset << 10
+        | min(count, 1023)): counts saturate at 1023, so this path is only
+        valid when probe_cap < 1023 and no max_values_per_key rule applies
+        (probe_tables asserts).  Returns False (leaving the binary-search
+        path in place) when the native builder is unavailable, a table is
+        too big for the 22-bit offset field, or insertion fails.
+        """
+        from .. import native
+        if native.cuckoo_build(np.zeros(0, np.uint32), 8, 0, 0) is None:
+            return False
+        keys_np = np.asarray(self.keys)
+        offs_np = np.asarray(self.offsets)
+        nk = np.asarray(self.num_keys)
+        if self.values.shape[1] >= (1 << 22):
+            return False
+        max_keys = int(nk.max()) if len(nk) else 0
+        if max_keys == 0:
+            return False
+        f = keys_np.shape[0]
+        base_bits = max(10, int(np.ceil(np.log2(max(2 * max_keys, 2)))))
+        for attempt in range(4):
+            bits = min(base_bits + (attempt + 1) // 2, 26)
+            seed1 = 0x5D588B65 * (attempt + 1) & 0xFFFFFFFF
+            seed2 = 0x2545F491 * (attempt + 1) & 0xFFFFFFFF
+            ck = np.full((f, 1 << bits), SENTINEL, dtype=np.uint32)
+            payload = np.zeros((f, 1 << bits), dtype=np.uint32)
+            ok = True
+            for t in range(f):
+                kt = keys_np[t, :nk[t]]
+                if (kt == SENTINEL).any():   # SENTINEL doubles as "empty"
+                    return False
+                slots = native.cuckoo_build(kt, bits, seed1, seed2)
+                if slots is None:
+                    ok = False
+                    break
+                off0 = offs_np[t, :nk[t]].astype(np.int64)
+                cnt = offs_np[t, 1:nk[t] + 1].astype(np.int64) - off0
+                ck[t, slots] = kt
+                payload[t, slots] = ((off0.astype(np.uint32) << 10)
+                                     | np.minimum(cnt, 1023).astype(
+                                         np.uint32))
+            if ok:
+                self.cuckoo_keys = jnp.asarray(ck)
+                self.cuckoo_payload = jnp.asarray(payload)
+                self.cuckoo_bits = bits
+                self.cuckoo_seeds = (seed1, seed2)
+                return True
+        return False
+
     @property
     def num_tables(self) -> int:
         return int(self.keys.shape[0])
 
     def memory_bytes(self) -> int:
-        return (self.keys.nbytes + self.offsets.nbytes + self.values.nbytes
-                + self.num_keys.nbytes)
+        total = (self.keys.nbytes + self.offsets.nbytes + self.values.nbytes
+                 + self.num_keys.nbytes)
+        for a in (self.bucket_start, self.cuckoo_keys, self.cuckoo_payload):
+            if a is not None:
+                total += a.nbytes
+        return total
 
     def save(self, path: str) -> None:
         """Index artifact (replaces --save-hashtables-to,
@@ -282,7 +348,8 @@ def _bucketed_lower_bound(keys: jnp.ndarray, bucket_start: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("probe_cap", "probe_steps",
                                    "max_values_per_key", "fnc_layout",
-                                   "tail_budget"))
+                                   "tail_budget", "cuckoo_bits",
+                                   "cuckoo_seeds"))
 def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  index_values: jnp.ndarray, index_num_keys: jnp.ndarray,
                  sigs: jnp.ndarray, sig_valid: jnp.ndarray,
@@ -292,7 +359,10 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  probe_steps: int = 0,
                  max_values_per_key: int = 0,
                  fnc_layout: bool = False,
-                 tail_budget: int = 0):
+                 tail_budget: int = 0,
+                 cuckoo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 cuckoo_bits: int = 0,
+                 cuckoo_seeds: Tuple[int, int] = (0, 0)):
     """Capped CSR lookup of [N, F] query signatures.
 
     Returns:
@@ -314,30 +384,61 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
     """
     n, f = sigs.shape
     sigs_t = sigs.T  # [F, N]
-    if bucket_start is not None:
-        idx = _bucketed_lower_bound(index_keys, bucket_start, sigs_t,
-                                    probe_steps)                 # [F, N]
+    if cuckoo is not None:
+        # cuckoo direct probe: two key gathers + one packed payload gather
+        # (build_cuckoo).  Counts saturate at 1023 in the payload, so the
+        # drop-all rule (which compares against maxValuesPerKey) must use
+        # the binary path, and probe_cap must stay below the saturation.
+        assert max_values_per_key == 0 and probe_cap < 1023
+        c_keys, c_payload = cuckoo
+        s1 = jnp.uint32(cuckoo_seeds[0])
+        s2 = jnp.uint32(cuckoo_seeds[1])
+        sh = jnp.uint32(32 - cuckoo_bits)
+        p1 = (((sigs_t ^ s1) * jnp.uint32(0x9E3779B1)) >> sh).astype(
+            jnp.int32)
+        p2 = (((sigs_t ^ s2) * jnp.uint32(0x85EBCA77)) >> sh).astype(
+            jnp.int32)
+        hit1 = jnp.take_along_axis(c_keys, p1, axis=1) == sigs_t
+        hit2 = jnp.take_along_axis(c_keys, p2, axis=1) == sigs_t
+        found = (hit1 | hit2) & sig_valid[None, :]
+        pay = jnp.take_along_axis(c_payload, jnp.where(hit1, p1, p2),
+                                  axis=1)
+        off0 = jnp.where(found, (pay >> 10).astype(jnp.int32), 0)
+        cnt = (pay & jnp.uint32(1023)).astype(jnp.int32)
+        if dropped_keys is not None:
+            dkeys, dnum = dropped_keys
+            didx = jax.vmap(_row_searchsorted)(dkeys, sigs_t)
+            didx_c = jnp.minimum(didx, dkeys.shape[1] - 1)
+            dhit = (jnp.take_along_axis(dkeys, didx_c, axis=1) == sigs_t
+                    ) & (didx < dnum[:, None])
+            found = found & ~dhit
+        counts = jnp.where(found, cnt, 0)                        # [F, N]
     else:
-        idx = jax.vmap(_row_searchsorted)(index_keys, sigs_t)    # [F, N]
-    idx_c = jnp.minimum(idx, index_keys.shape[1] - 1)
-    found_key = jnp.take_along_axis(index_keys, idx_c, axis=1)   # [F, N]
-    found = (found_key == sigs_t) & (idx < index_num_keys[:, None])
-    found = found & sig_valid[None, :]
-    if dropped_keys is not None:
-        dkeys, dnum = dropped_keys
-        didx = jax.vmap(_row_searchsorted)(dkeys, sigs_t)
-        didx_c = jnp.minimum(didx, dkeys.shape[1] - 1)
-        dhit = (jnp.take_along_axis(dkeys, didx_c, axis=1) == sigs_t) & (
-            didx < dnum[:, None])
-        found = found & ~dhit
+        if bucket_start is not None:
+            idx = _bucketed_lower_bound(index_keys, bucket_start, sigs_t,
+                                        probe_steps)             # [F, N]
+        else:
+            idx = jax.vmap(_row_searchsorted)(index_keys, sigs_t)  # [F, N]
+        idx_c = jnp.minimum(idx, index_keys.shape[1] - 1)
+        found_key = jnp.take_along_axis(index_keys, idx_c, axis=1)  # [F, N]
+        found = (found_key == sigs_t) & (idx < index_num_keys[:, None])
+        found = found & sig_valid[None, :]
+        if dropped_keys is not None:
+            dkeys, dnum = dropped_keys
+            didx = jax.vmap(_row_searchsorted)(dkeys, sigs_t)
+            didx_c = jnp.minimum(didx, dkeys.shape[1] - 1)
+            dhit = (jnp.take_along_axis(dkeys, didx_c, axis=1) == sigs_t
+                    ) & (didx < dnum[:, None])
+            found = found & ~dhit
 
-    off0 = jnp.take_along_axis(index_offsets, idx_c, axis=1)
-    off1 = jnp.take_along_axis(index_offsets, idx_c + 1, axis=1)
-    if max_values_per_key > 0:
-        # GroupByKey drop-all semantics evaluated lazily at probe time
-        # (reference: groupbykey.hpp:60-67): over-full keys yield nothing
-        found = found & ((off1 - off0) <= max_values_per_key)
-    counts = jnp.where(found, off1 - off0, 0)                    # [F, N]
+        off0 = jnp.take_along_axis(index_offsets, idx_c, axis=1)
+        off1 = jnp.take_along_axis(index_offsets, idx_c + 1, axis=1)
+        if max_values_per_key > 0:
+            # GroupByKey drop-all semantics evaluated lazily at probe time
+            # (reference: groupbykey.hpp:60-67): over-full keys yield
+            # nothing
+            found = found & ((off1 - off0) <= max_values_per_key)
+        counts = jnp.where(found, off1 - off0, 0)                # [F, N]
 
     v_cols = index_values.shape[1]
     cap_eff = jnp.minimum(counts, probe_cap)                     # [F, N]

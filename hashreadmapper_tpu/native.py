@@ -110,6 +110,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.c_char_p, ctypes.c_char_p]
+        if hasattr(lib, "hrm_cuckoo_build"):
+            lib.hrm_cuckoo_build.restype = ctypes.c_int
+            lib.hrm_cuckoo_build.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_longlong,
+                ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+                ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except OSError:
         _lib = None
@@ -326,3 +332,24 @@ def ssw_align_batch(queries, refs, mask_lens, threads: int = 0,
             ref_end_next_best=a.ref_end_next_best, mismatches=a.mismatches,
             cigar_string=cig, flag=a.flag))
     return result
+
+
+def cuckoo_build(keys, bits: int, seed1: int, seed2: int):
+    """Slot assignment for one table's distinct keys (native/cuckoo.cpp).
+
+    keys: [n] uint32 numpy (distinct).  Returns [n] int32 slots in a
+    2^bits table, or None on insertion failure (caller retries with other
+    seeds / more bits) or when the native library is unavailable.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hrm_cuckoo_build"):
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    out = np.empty(len(keys), dtype=np.int32)
+    rc = lib.hrm_cuckoo_build(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(keys), bits, seed1 & 0xFFFFFFFF, seed2 & 0xFFFFFFFF,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out if rc == 0 else None

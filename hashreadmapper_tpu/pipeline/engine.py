@@ -287,6 +287,8 @@ class CoarseMapper:
             assert self.index.kmer_length == opts.kmer_length, (
                 "loaded index was built with a different k")
             self.index.build_buckets()
+            if opts.probe_cap < 1023:
+                self.index.build_cuckoo()
             win_pos, win_chrom, _ = self._window_geometry()
             self.table.win_pos = jnp.asarray(win_pos)
             self.table.win_chrom = jnp.asarray(win_chrom)
@@ -410,6 +412,10 @@ class CoarseMapper:
         self.index = mi.build_csr_index_device(
             sigs, valid, opts.kmer_length, self.hash_ids)
         self.index.build_buckets()
+        if opts.probe_cap < 1023:
+            # direct-probe table (falls back silently to the binary search
+            # when the native builder is unavailable)
+            self.index.build_cuckoo()
 
     # ------------------------------------------------------------------
     # read-side key dropping (parity with reference read-index build)
@@ -437,6 +443,7 @@ class CoarseMapper:
         i = self.index
         return self._map_batch_impl(
             i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
+            i.cuckoo_keys, i.cuckoo_payload,
             t.genome_hi, t.genome_lo, t.win_pos, t.win_chrom, t.chrom_offset,
             t.chrom_len, self._hash_ids_dev,
             read_bases, read_len, read_valid, dropped_keys, dropped_num)
@@ -450,6 +457,7 @@ class CoarseMapper:
         i = self.index
         return self._map_batch_at_impl(
             i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
+            i.cuckoo_keys, i.cuckoo_payload,
             t.genome_hi, t.genome_lo, t.win_pos, t.win_chrom, t.chrom_offset,
             t.chrom_len, self._hash_ids_dev,
             all_bases, all_lens, all_valid, start, bsz,
@@ -457,7 +465,8 @@ class CoarseMapper:
 
     @partial(jax.jit, static_argnames=("self", "bsz", "collect_candidates"))
     def _map_batch_at_impl(self, index_keys, index_offsets, index_values,
-                           index_num_keys, bucket_start, genome_hi, genome_lo,
+                           index_num_keys, bucket_start, cuckoo_keys,
+                           cuckoo_payload, genome_hi, genome_lo,
                            win_pos, win_chrom, chrom_offset, chrom_len,
                            hash_ids, all_bases, all_lens, all_valid, start,
                            bsz, dropped_keys, dropped_num,
@@ -467,14 +476,16 @@ class CoarseMapper:
         valid = jax.lax.dynamic_slice_in_dim(all_valid, start, bsz, 0)
         return self._map_batch_impl(
             index_keys, index_offsets, index_values, index_num_keys,
-            bucket_start, genome_hi, genome_lo, win_pos, win_chrom,
+            bucket_start, cuckoo_keys, cuckoo_payload,
+            genome_hi, genome_lo, win_pos, win_chrom,
             chrom_offset, chrom_len, hash_ids,
             chunk, lens, valid, dropped_keys, dropped_num,
             collect_candidates=collect_candidates)
 
     @partial(jax.jit, static_argnames=("self", "collect_candidates"))
     def _map_batch_impl(self, index_keys, index_offsets, index_values,
-                        index_num_keys, bucket_start, genome_hi, genome_lo,
+                        index_num_keys, bucket_start, cuckoo_keys,
+                        cuckoo_payload, genome_hi, genome_lo,
                         win_pos, win_chrom, chrom_offset, chrom_len,
                         hash_ids,
                         read_bases: jnp.ndarray, read_len: jnp.ndarray,
@@ -502,6 +513,11 @@ class CoarseMapper:
         sig_valid = sig_valid & read_valid
 
         tail_budget = b * opts.probe_tail_budget_per_read
+        cuckoo_kw = {}
+        if cuckoo_keys is not None:
+            cuckoo_kw = dict(cuckoo=(cuckoo_keys, cuckoo_payload),
+                             cuckoo_bits=self.index.cuckoo_bits,
+                             cuckoo_seeds=self.index.cuckoo_seeds)
         if tail_budget > 0:
             cand, counts, tail_drops = mi.probe_tables(
                 index_keys, index_offsets, index_values,
@@ -509,14 +525,15 @@ class CoarseMapper:
                 dropped_keys=(dropped_keys, dropped_num),
                 bucket_start=bucket_start,
                 probe_steps=self.index.probe_steps, fnc_layout=True,
-                tail_budget=tail_budget)
+                tail_budget=tail_budget, **cuckoo_kw)
         else:
             cand, counts = mi.probe_tables(
                 index_keys, index_offsets, index_values,
                 index_num_keys, sigs, sig_valid, opts.probe_cap,
                 dropped_keys=(dropped_keys, dropped_num),
                 bucket_start=bucket_start,
-                probe_steps=self.index.probe_steps, fnc_layout=True)
+                probe_steps=self.index.probe_steps, fnc_layout=True,
+                **cuckoo_kw)
             tail_drops = jnp.int32(0)
         ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
