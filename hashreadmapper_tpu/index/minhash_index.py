@@ -84,47 +84,17 @@ class CsrIndex:
         path in place) when the native builder is unavailable, a table is
         too big for the 22-bit offset field, or insertion fails.
         """
-        from .. import native
-        if native.cuckoo_build(np.zeros(0, np.uint32), 8, 0, 0) is None:
+        built = build_cuckoo_arrays(
+            np.asarray(self.keys), np.asarray(self.offsets),
+            np.asarray(self.num_keys), int(self.values.shape[1]))
+        if built is None:
             return False
-        keys_np = np.asarray(self.keys)
-        offs_np = np.asarray(self.offsets)
-        nk = np.asarray(self.num_keys)
-        if self.values.shape[1] >= (1 << 22):
-            return False
-        max_keys = int(nk.max()) if len(nk) else 0
-        if max_keys == 0:
-            return False
-        f = keys_np.shape[0]
-        base_bits = max(10, int(np.ceil(np.log2(max(2 * max_keys, 2)))))
-        for attempt in range(4):
-            bits = min(base_bits + (attempt + 1) // 2, 26)
-            seed1 = 0x5D588B65 * (attempt + 1) & 0xFFFFFFFF
-            seed2 = 0x2545F491 * (attempt + 1) & 0xFFFFFFFF
-            ck = np.full((f, 1 << bits), SENTINEL, dtype=np.uint32)
-            payload = np.zeros((f, 1 << bits), dtype=np.uint32)
-            ok = True
-            for t in range(f):
-                kt = keys_np[t, :nk[t]]
-                if (kt == SENTINEL).any():   # SENTINEL doubles as "empty"
-                    return False
-                slots = native.cuckoo_build(kt, bits, seed1, seed2)
-                if slots is None:
-                    ok = False
-                    break
-                off0 = offs_np[t, :nk[t]].astype(np.int64)
-                cnt = offs_np[t, 1:nk[t] + 1].astype(np.int64) - off0
-                ck[t, slots] = kt
-                payload[t, slots] = ((off0.astype(np.uint32) << 10)
-                                     | np.minimum(cnt, 1023).astype(
-                                         np.uint32))
-            if ok:
-                self.cuckoo_keys = jnp.asarray(ck)
-                self.cuckoo_payload = jnp.asarray(payload)
-                self.cuckoo_bits = bits
-                self.cuckoo_seeds = (seed1, seed2)
-                return True
-        return False
+        ck, payload, bits, seeds = built
+        self.cuckoo_keys = jnp.asarray(ck)
+        self.cuckoo_payload = jnp.asarray(payload)
+        self.cuckoo_bits = bits
+        self.cuckoo_seeds = seeds
+        return True
 
     @property
     def num_tables(self) -> int:
@@ -153,6 +123,47 @@ class CsrIndex:
         return cls(jnp.asarray(d["keys"]), jnp.asarray(d["offsets"]),
                    jnp.asarray(d["values"]), jnp.asarray(d["num_keys"]),
                    int(d["kmer_length"]), d["hash_ids"])
+
+
+def build_cuckoo_arrays(keys_np: np.ndarray, offs_np: np.ndarray,
+                        nk: np.ndarray, v_cols: int):
+    """Numpy cuckoo-table arrays for CsrIndex.build_cuckoo (and for the
+    sharded mapper, which device_puts them with a table sharding instead
+    of staging them on one device).  Returns (keys [F, 2^bits] uint32,
+    payload [F, 2^bits] uint32, bits, (seed1, seed2)) or None."""
+    from .. import native
+    if native.cuckoo_build(np.zeros(0, np.uint32), 8, 0, 0) is None:
+        return None
+    if v_cols >= (1 << 22):
+        return None
+    max_keys = int(nk.max()) if len(nk) else 0
+    if max_keys == 0:
+        return None
+    f = keys_np.shape[0]
+    base_bits = max(10, int(np.ceil(np.log2(max(2 * max_keys, 2)))))
+    for attempt in range(4):
+        bits = min(base_bits + (attempt + 1) // 2, 26)
+        seed1 = 0x5D588B65 * (attempt + 1) & 0xFFFFFFFF
+        seed2 = 0x2545F491 * (attempt + 1) & 0xFFFFFFFF
+        ck = np.full((f, 1 << bits), SENTINEL, dtype=np.uint32)
+        payload = np.zeros((f, 1 << bits), dtype=np.uint32)
+        ok = True
+        for t in range(f):
+            kt = keys_np[t, :nk[t]]
+            if (kt == SENTINEL).any():   # SENTINEL doubles as "empty"
+                return None
+            slots = native.cuckoo_build(kt, bits, seed1, seed2)
+            if slots is None:
+                ok = False
+                break
+            off0 = offs_np[t, :nk[t]].astype(np.int64)
+            cnt = offs_np[t, 1:nk[t] + 1].astype(np.int64) - off0
+            ck[t, slots] = kt
+            payload[t, slots] = ((off0.astype(np.uint32) << 10)
+                                 | np.minimum(cnt, 1023).astype(np.uint32))
+        if ok:
+            return ck, payload, bits, (seed1, seed2)
+    return None
 
 
 def build_csr_index(signatures: np.ndarray, valid: np.ndarray,

@@ -81,6 +81,28 @@ class ShardedCoarseMapper:
         repl = NamedSharding(mesh, P())
         self.keys, self.offsets, self.values, self.num_keys = \
             self._build_index_sharded()
+        # cuckoo direct-probe shards (host-built from the shard keys, put
+        # back with the table sharding — never staged whole on one device)
+        self._use_cuckoo = False
+        self.cuckoo_bits = 0
+        self.cuckoo_seeds = (0, 0)
+        built = None
+        if opts.probe_cap < 1023:
+            built = mi.build_cuckoo_arrays(
+                np.asarray(self.keys), np.asarray(self.offsets),
+                np.asarray(self.num_keys), int(self.values.shape[1]))
+        if built is not None:
+            ck, payload, bits, seeds = built
+            self.cuckoo_keys = jax.device_put(ck, table_spec)
+            self.cuckoo_payload = jax.device_put(payload, table_spec)
+            self.cuckoo_bits = bits
+            self.cuckoo_seeds = seeds
+            self._use_cuckoo = True
+        else:
+            # shape placeholders keep the shard_map arity uniform
+            dummy = np.zeros((self.n_tables, 2), dtype=np.uint32)
+            self.cuckoo_keys = jax.device_put(dummy, table_spec)
+            self.cuckoo_payload = jax.device_put(dummy, table_spec)
         self.genome_hi = jax.device_put(self.base.table.genome_hi, repl)
         self.genome_lo = jax.device_put(self.base.table.genome_lo, repl)
         self.win_pos = jax.device_put(self.base.table.win_pos, repl)
@@ -177,7 +199,8 @@ class ShardedCoarseMapper:
         opts = self.opts
         mesh = self.mesh
 
-        def step(keys, offsets, values, num_keys, dropped_keys, dropped_num,
+        def step(keys, offsets, values, num_keys, cuckoo_k, cuckoo_p,
+                 dropped_keys, dropped_num,
                  genome_hi, genome_lo, win_pos, win_chrom, chrom_offset,
                  chrom_len, hash_ids, read_bases, read_len, read_valid):
             """Runs per (data, table) shard via shard_map."""
@@ -209,18 +232,23 @@ class ShardedCoarseMapper:
             local_sigs = jax.lax.dynamic_slice_in_dim(
                 sigs, t_idx * f_local, f_local, axis=1)
             tail_budget = b * opts.probe_tail_budget_per_read
+            cuckoo_kw = {}
+            if self._use_cuckoo:
+                cuckoo_kw = dict(cuckoo=(cuckoo_k, cuckoo_p),
+                                 cuckoo_bits=self.cuckoo_bits,
+                                 cuckoo_seeds=self.cuckoo_seeds)
             if tail_budget > 0:
                 cand_local, counts_local, tail_drops = mi.probe_tables(
                     keys, offsets, values, num_keys, local_sigs, sig_valid,
                     opts.probe_cap,
                     dropped_keys=(dropped_keys, dropped_num),
-                    fnc_layout=True, tail_budget=tail_budget)
+                    fnc_layout=True, tail_budget=tail_budget, **cuckoo_kw)
             else:
                 cand_local, counts_local = mi.probe_tables(
                     keys, offsets, values, num_keys, local_sigs, sig_valid,
                     opts.probe_cap,
                     dropped_keys=(dropped_keys, dropped_num),
-                    fnc_layout=True)
+                    fnc_layout=True, **cuckoo_kw)
                 tail_drops = jnp.int32(0)
 
             # merge per-table partials: the reference P2P-gathers per-GPU
@@ -260,7 +288,7 @@ class ShardedCoarseMapper:
         mapped = _shard_map(
             step, mesh,
             in_specs=(table_spec, table_spec, table_spec, table_spec,
-                      table_spec, table_spec,
+                      table_spec, table_spec, table_spec, table_spec,
                       repl, repl, repl, repl, repl, repl, repl,
                       data_spec, data_spec, data_spec),
             out_specs=(data_spec,) * 6 + (repl,))
@@ -270,6 +298,7 @@ class ShardedCoarseMapper:
                   read_valid: jnp.ndarray):
         return self._step(
             self.keys, self.offsets, self.values, self.num_keys,
+            self.cuckoo_keys, self.cuckoo_payload,
             self.dropped_keys, self.dropped_num,
             self.genome_hi, self.genome_lo, self.win_pos, self.win_chrom,
             self.chrom_offset, self.chrom_len, self.hash_ids,
