@@ -149,9 +149,18 @@ class RegionShardedMapper:
                 c, opts.kmer_length, opts.window_size)
 
         self.mappers: List[CoarseMapper] = []
+        # the cuckoo direct-probe tables cost ~2.5x the CSR index in HBM;
+        # with >2 co-resident regions per device they would crowd out the
+        # read pool (12-region GRCh38 would exceed a v5e's 16 GB), so those
+        # configurations keep the binary-search probe (~6% slower at 250
+        # Mbp)
+        regions_per_dev = -(-self.n_regions // len(devs))
+        direct_probe = regions_per_dev <= 2
         for r, segs in enumerate(self.regions):
             with jax.default_device(devs[r % len(devs)]):
-                self.mappers.append(CoarseMapper(genome, opts, segments=segs))
+                self.mappers.append(CoarseMapper(
+                    genome, opts, segments=segs,
+                    build_direct_probe=direct_probe))
 
     def map_reads(self, read_bases: np.ndarray,
                   read_lengths: np.ndarray) -> CoarseResults:

@@ -259,7 +259,8 @@ def window_bases_device(genome_concat: jnp.ndarray, gstart: jnp.ndarray,
 class CoarseMapper:
     def __init__(self, genome: Genome, opts: ProgramOptions,
                  sig_batch: int = 4096, load_index_from: str = "",
-                 build_index: bool = True, segments=None):
+                 build_index: bool = True, segments=None,
+                 build_direct_probe: bool = True):
         opts.validate()
         self.opts = opts
         self.genome = genome
@@ -267,6 +268,9 @@ class CoarseMapper:
         # results report SEGMENT ids in chromosome_id and LOCAL window
         # ordinals in global_window_id — RegionShardedMapper converts back.
         self.segments = segments
+        # cuckoo tables cost ~2.5x the CSR index in HBM; callers packing
+        # several regions onto one device turn them off
+        self._build_direct_probe = build_direct_probe
         if segments is not None:
             self.seg_local_base = np.zeros(len(segments) + 1, dtype=np.int64)
             for i, seg in enumerate(segments):
@@ -287,7 +291,7 @@ class CoarseMapper:
             assert self.index.kmer_length == opts.kmer_length, (
                 "loaded index was built with a different k")
             self.index.build_buckets()
-            if opts.probe_cap < 1023:
+            if opts.probe_cap < 1023 and self._build_direct_probe:
                 self.index.build_cuckoo()
             win_pos, win_chrom, _ = self._window_geometry()
             self.table.win_pos = jnp.asarray(win_pos)
@@ -412,7 +416,7 @@ class CoarseMapper:
         self.index = mi.build_csr_index_device(
             sigs, valid, opts.kmer_length, self.hash_ids)
         self.index.build_buckets()
-        if opts.probe_cap < 1023:
+        if opts.probe_cap < 1023 and self._build_direct_probe:
             # direct-probe table (falls back silently to the binary search
             # when the native builder is unavailable)
             self.index.build_cuckoo()
