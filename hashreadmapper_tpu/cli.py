@@ -21,8 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--inputfiles", nargs="+", default=[],
                    help="read files (FASTA/FASTQ, optionally .gz)")
     p.add_argument("--genomefile", default="genome.fasta")
-    p.add_argument("-o", "--outputfile", default="output.txt")
-    p.add_argument("--outputdirectory", default=".")
+    p.add_argument("-o", "--outputfile", "--outputfilename",
+                   dest="outputfile", default="output.txt")
+    p.add_argument("--outputdirectory", "--outdir", dest="outputdirectory",
+                   default=".")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-k", "--kmerlength", type=int, default=16)
     p.add_argument("-m", "--hashmaps", type=int, default=16,
@@ -33,8 +35,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxResultsPerMap", type=int, default=65535)
     p.add_argument("--maxHammingPercent", type=float, default=0.05)
     p.add_argument("--hashtableLoadfactor", type=float, default=0.8)
-    p.add_argument("--mappertype", choices=["SW", "edlib"], default="SW")
+    p.add_argument("--mappertype", choices=["SW", "edlib", "sthelse"],
+                   default="SW")
     p.add_argument("--pairmode", choices=["SE", "PE"], default="SE")
+    p.add_argument("--minInsertSize", type=int, default=-1,
+                   help="PE insert-size bound (parsed for parity; the "
+                        "reference parses and never consumes it, "
+                        "options.cpp:219-226)")
+    p.add_argument("--maxInsertSize", type=int, default=-1)
+    p.add_argument("--enforceHashmapCount", action="store_true",
+                   help="error out instead of shrinking the table count "
+                        "under --memHashtables (mustUseAllHashfunctions)")
+    p.add_argument("--gpu", nargs="*", type=int, default=[],
+                   help="device ids (reference -g/--gpu; devices are "
+                        "jax-managed here, accepted for CLI parity)")
+    p.add_argument("--warpcore", type=int, default=1,
+                   help="reference hash-table backend toggle; accepted "
+                        "for CLI parity (the TPU index has one backend)")
     p.add_argument("--memHashtables", default="0",
                    help="memory limit for hash tables (K/M/G suffixes)")
     p.add_argument("--memTotal", default="0")
@@ -84,10 +101,13 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         max_results_per_map=args.maxResultsPerMap,
         max_hamming_percent=args.maxHammingPercent,
         hashtable_load_factor=args.hashtableLoadfactor,
-        mapper_type=MapperType.SW if args.mappertype == "SW"
-        else MapperType.EDLIB,
+        mapper_type={"SW": MapperType.SW, "edlib": MapperType.EDLIB,
+                     "sthelse": MapperType.STHELSE}[args.mappertype],
         pair_type=SequencePairType.SINGLE_END if args.pairmode == "SE"
         else SequencePairType.PAIRED_END,
+        min_insert_size=args.minInsertSize,
+        max_insert_size=args.maxInsertSize,
+        must_use_all_hash_functions=args.enforceHashmapCount,
         memory_for_hashtables=parse_memory_string(args.memHashtables),
         memory_total_limit=parse_memory_string(args.memTotal),
         save_binary_reads_to=args.save_preprocessedreads_to,
