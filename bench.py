@@ -143,33 +143,36 @@ def main():
     rps_3n, mapper, packed, t_coarse = coarse_rate(genome, reads, opts3,
                                                    "3N")
 
-    # --- end-to-end: STEP 2 (device SSW -> SAM) + STEP 3 (VCF) on the
-    # coarse results (reference "process mapping"/"process variant calling"
-    # phases, main_gpu.cu:1147-1154) ---
+    # --- end-to-end: the pipelined driver path (chunked coarse + STEP 2
+    # overlap, pipeline/driver.py::_pipelined_sw) -> SAM -> VCF, measured
+    # wall-clock over all reads (reference "process mapping"/"process
+    # variant calling" phases, main_gpu.cu:1147-1154) ---
+    from hashreadmapper_tpu.pipeline.driver import _pipelined_sw
+
     genome_rc = genome.reverse_complement()
     lengths = np.full(n_reads, read_len, np.int32)
+    n_mapped_3n = int((packed[:, 0] != 3).sum())
     store = ReadStorage(pack_rows(reads, lengths, (read_len + 15) // 16),
                         lengths, np.zeros(n_reads, bool))
-    orientation = packed[:, 0].astype(np.int8)
-    position = packed[:, 4].astype(np.int64)
-    chromosome_id = packed[:, 3].astype(np.int32)
-    # warm the STEP-2 kernels on a small slice so the e2e number reflects
-    # steady state, not remote-compile
-    warm = ReadStorage(store.packed[:256], lengths[:256],
-                       np.zeros(256, bool))
-    mapping.run_cssw(genome, genome_rc, orientation[:256], position[:256],
-                     chromosome_id[:256], warm, opts3)
+    opts3.step2_pipeline_chunk = 8192
+    padded = np.pad(reads, ((0, 0), (0, opts3.max_read_length - read_len))
+                    ).astype(np.int8)
+    # warm the STEP-2 kernels + chunk-shaped coarse pool so the e2e number
+    # reflects steady state, not remote-compile
+    _pipelined_sw(mapper, padded[:opts3.step2_pipeline_chunk],
+                  store.slice_rows(0, opts3.step2_pipeline_chunk),
+                  genome, genome_rc, opts3)
     t0 = time.perf_counter()
-    aas = mapping.run_cssw(genome, genome_rc, orientation, position,
-                           chromosome_id, store, opts3)
+    results3, aas = _pipelined_sw(mapper, padded, store, genome, genome_rc,
+                                  opts3)
     sam_stats = mapping.print_to_sam(aas, genome, "/tmp/bench_out.SAM")
     mapping.do_vc(aas, genome, "/tmp/bench_out")
-    t_step23 = time.perf_counter() - t0
-    # coarse time for ALL reads at the steady rate
-    t_coarse_full = n_reads / rps_3n
-    rps_e2e = n_reads / (t_coarse_full + t_step23)
-    log(f"[e2e] STEP2+3: {t_step23:.2f}s ({sam_stats}); "
+    t_e2e = time.perf_counter() - t0
+    rps_e2e = n_reads / t_e2e
+    log(f"[e2e] pipelined STEP1+2+3: {t_e2e:.2f}s ({sam_stats}); "
         f"e2e {rps_e2e:,.0f} reads/s")
+    n3 = int((results3.orientation != 3).sum())
+    assert n3 == n_mapped_3n, "pipelined coarse diverged from pool coarse"
 
     # --- parity-mode coarse rate (the round-1 configuration) ---
     genome_p, reads_p, _ = make_genome_and_reads(

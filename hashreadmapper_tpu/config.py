@@ -120,6 +120,13 @@ class ProgramOptions:
     # (see minhash_index.probe_tables tail_budget).  0 = off (single full
     # probe_cap gather).  Bit-identical while probe_tail_overflow stays 0.
     probe_tail_budget_per_read: int = 0
+    # STEP1/STEP2 pipelining: reads are coarse-mapped and fine-aligned in
+    # chunks of this many reads, so STEP 2's host work (CIGAR finish,
+    # rescore, record build) overlaps the next chunk's device coarse
+    # mapping.  0 = off (phases strictly sequential, the reference's
+    # structure).  Results are identical either way (the dropped-keys mask
+    # is still computed from the full read set).
+    step2_pipeline_chunk: int = 65536
 
     @property
     def window_stride(self) -> int:

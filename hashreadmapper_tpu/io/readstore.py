@@ -105,6 +105,19 @@ class ReadStorage:
     def gather_bases(self, read_ids: Sequence[int], maxlen: int) -> np.ndarray:
         return unpack_rows(self.packed[np.asarray(read_ids)], maxlen)
 
+    def slice_rows(self, c0: int, c1: int) -> "ReadStorage":
+        """Zero-copy row-range view (the STEP1/STEP2 pipeline maps chunk
+        [c0, c1) while the previous chunk fine-aligns)."""
+        q = None
+        if self.qualities is not None:
+            from .quality import QualityStore
+            q = QualityStore(self.qualities.bits)
+            q._rows = self.qualities._rows[c0:c1]
+            q._lengths = self.qualities._lengths[c0:c1]
+        return ReadStorage(
+            self.packed[c0:c1], self.lengths[c0:c1], self.ambiguous[c0:c1],
+            names=self.names[c0:c1] if self.names else None, qualities=q)
+
     def bases_matrix(self, maxlen: Optional[int] = None) -> np.ndarray:
         return unpack_rows(self.packed, maxlen or self.sequence_length_upper_bound())
 

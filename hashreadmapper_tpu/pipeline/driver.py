@@ -22,6 +22,59 @@ from . import mapping
 from .engine import CoarseMapper, CoarseResults
 
 
+def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
+                  genome: Genome, genome_rc: Genome, opts: ProgramOptions):
+    """Chunked coarse map + fine alignment with one STEP-2 worker thread.
+
+    The main thread drives the device (coarse chunks); a single worker
+    runs each chunk's run_cssw as soon as its coarse results land, so
+    STEP 2's CPU portions (CIGAR finish, rescore, record build) hide
+    behind the next chunk's device time.  Chunk results are re-based to
+    global read ids and concatenated in order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = reads.num_reads
+    chunk = opts.step2_pipeline_chunk
+    if hasattr(mapper, "ensure_read_drops"):
+        # whole-dataset parity rule; must precede per-chunk mapping
+        mapper.ensure_read_drops(bases, reads.lengths)
+    res_parts = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = []
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            res = mapper.map_reads(bases[c0:c1], reads.lengths[c0:c1])
+            res_parts.append(res)
+            futs.append((c0, ex.submit(
+                mapping.run_cssw, genome, genome_rc, res.orientation,
+                res.position, res.chromosome_id, reads.slice_rows(c0, c1),
+                opts)))
+        mappingout = []
+        for c0, f in futs:
+            part = f.result()
+            for aa in part:
+                aa.read_id += c0
+            mappingout.extend(part)
+
+    stats = {}
+    for r in res_parts:
+        for k, v in r.stats.items():
+            stats[k] = stats.get(k, 0) + v
+    cat = lambda field: np.concatenate([getattr(r, field)
+                                        for r in res_parts])
+    g64 = ([r.global_window_id64 for r in res_parts]
+           if all(r.global_window_id64 is not None for r in res_parts)
+           else None)
+    results = CoarseResults(
+        orientation=cat("orientation"), hamming=cat("hamming"),
+        shift=cat("shift"), chromosome_id=cat("chromosome_id"),
+        position=cat("position"), global_window_id=cat("global_window_id"),
+        stats=stats,
+        global_window_id64=(np.concatenate(g64) if g64 else None))
+    return results, mappingout
+
+
 def run_pipeline(opts: ProgramOptions,
                  reads: Optional[ReadStorage] = None,
                  genome: Optional[Genome] = None) -> Dict:
@@ -74,9 +127,23 @@ def run_pipeline(opts: ProgramOptions,
                 print(f"window index: {mapper.index.memory_bytes()} bytes, "
                       f"{mapper.table.num_windows} windows")
 
-        with timers.phase("process genome"):
-            bases = reads.bases_matrix(opts.max_read_length).astype(np.int8)
-            results: CoarseResults = mapper.map_reads(bases, reads.lengths)
+        pipelined = (opts.mapper_type == MapperType.SW
+                     and opts.step2_pipeline_chunk > 0
+                     and reads.num_reads > opts.step2_pipeline_chunk)
+        bases = reads.bases_matrix(opts.max_read_length).astype(np.int8)
+        if pipelined:
+            # chunked STEP1/STEP2 pipeline: the host side of chunk i's fine
+            # alignment overlaps chunk i+1's device coarse mapping (the
+            # reference runs the phases strictly sequentially,
+            # main_gpu.cu:1147-1154; results are identical — the
+            # dropped-keys mask still comes from the full read set)
+            with timers.phase("process genome"):
+                results, mappingout = _pipelined_sw(
+                    mapper, bases, reads, genome, genome_rc, opts)
+        else:
+            with timers.phase("process genome"):
+                results: CoarseResults = mapper.map_reads(bases,
+                                                          reads.lengths)
         n_mapped = int((results.orientation != 3).sum())
         print(f"coarse mapped: {n_mapped}/{reads.num_reads} "
               f"stats={results.stats}")
@@ -91,9 +158,10 @@ def run_pipeline(opts: ProgramOptions,
                     "vcf_path": None, "timers": timers.totals(),
                     "reads": reads, "genome": genome}
         if opts.mapper_type == MapperType.SW:
-            mappingout = mapping.run_cssw(
-                genome, genome_rc, results.orientation, results.position,
-                results.chromosome_id, reads, opts)
+            if not pipelined:
+                mappingout = mapping.run_cssw(
+                    genome, genome_rc, results.orientation, results.position,
+                    results.chromosome_id, reads, opts)
             sam_path = opts.outputfile + ".SAM"
             sam_stats = mapping.print_to_sam(mappingout, genome, sam_path)
         else:

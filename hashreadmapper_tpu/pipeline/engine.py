@@ -642,6 +642,38 @@ class CoarseMapper:
         pool = max(bsz, (pool // bsz) * bsz)
         return min(pool, n_pad)
 
+    def ensure_read_drops(self, read_bases: np.ndarray,
+                          read_lengths: np.ndarray,
+                          precomputed_sigs: Optional[np.ndarray] = None
+                          ) -> None:
+        """Dropped-keys mask from the FULL read set.
+
+        The chunked (pipelined) driver must call this over all reads before
+        per-chunk map_reads calls: the reference's read-index GroupByKey
+        drop rule is a whole-dataset property (groupbykey.hpp:60-67), not a
+        per-chunk one.  No-op in 3N mode or when already computed.
+        """
+        opts = self.opts
+        if opts.three_n_seeding or self.dropped is not None:
+            return
+        n = read_bases.shape[0]
+        if precomputed_sigs is None:
+            sig_list = []
+            val_list = []
+            for start in range(0, n, opts.batchsize):
+                stop = min(start + opts.batchsize, n)
+                chunk = read_bases[start:stop]
+                s, v = minhash.minhash_signatures(
+                    jnp.asarray(chunk), jnp.asarray(read_lengths[start:stop]),
+                    opts.kmer_length, self._hash_ids_dev)
+                sig_list.append(np.asarray(s))
+                val_list.append(np.asarray(v))
+            precomputed_sigs = np.concatenate(sig_list)
+            pre_valid = np.concatenate(val_list)
+        else:
+            pre_valid = read_lengths >= opts.kmer_length
+        self.prepare_read_drops(precomputed_sigs, pre_valid)
+
     def ensure_empty_drops(self) -> None:
         if self.dropped is None:
             f = len(self.hash_ids) * (
@@ -683,22 +715,8 @@ class CoarseMapper:
             # no reference counterpart to emulate
             emulate_read_key_drop = False
         if emulate_read_key_drop and self.dropped is None:
-            if precomputed_sigs is None:
-                sig_list = []
-                val_list = []
-                for start in range(0, n, opts.batchsize):
-                    stop = min(start + opts.batchsize, n)
-                    chunk = read_bases[start:stop]
-                    s, v = minhash.minhash_signatures(
-                        jnp.asarray(chunk), jnp.asarray(read_lengths[start:stop]),
-                        opts.kmer_length, self._hash_ids_dev)
-                    sig_list.append(np.asarray(s))
-                    val_list.append(np.asarray(v))
-                precomputed_sigs = np.concatenate(sig_list)
-                pre_valid = np.concatenate(val_list)
-            else:
-                pre_valid = read_lengths >= opts.kmer_length
-            self.prepare_read_drops(precomputed_sigs, pre_valid)
+            self.ensure_read_drops(read_bases, read_lengths,
+                                   precomputed_sigs)
 
         if self.dropped is None:
             # no read-key dropping: empty mask
