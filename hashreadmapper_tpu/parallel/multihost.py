@@ -29,7 +29,7 @@ pmin — no 64-bit device arithmetic, so jax_enable_x64 is NOT required.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 INT32_MIN = -(2**31)
 

@@ -22,7 +22,7 @@ candidate broadcasts.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import numpy as np

@@ -20,9 +20,8 @@ whole-GRCh38 indexes that exceed one device's HBM.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +32,7 @@ from ..config import ProgramOptions
 from ..index import minhash_index as mi
 from ..io.genome import Genome
 from ..ops import minhash, shd
-from ..pipeline.engine import CoarseMapper, _BIG
+from ..pipeline.engine import CoarseMapper
 
 SENTINEL = np.uint32(0xFFFFFFFF)
 

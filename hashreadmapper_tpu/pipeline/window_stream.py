@@ -31,7 +31,7 @@ from ..config import ProgramOptions
 from ..index import minhash_index as mi
 from ..io.genome import Genome
 from ..ops import minhash, shd
-from .engine import CoarseResults, _BIG
+from .engine import CoarseResults
 
 SENTINEL = np.uint32(0xFFFFFFFF)
 
