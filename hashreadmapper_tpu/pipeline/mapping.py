@@ -407,6 +407,11 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         pos_l = position.tolist()
         chrom_l = chromosome_id.tolist()
         unmapped_l = (orientation == NONE).tolist()
+        # unmapped reads share ONE read-only default pair (mapped reads get
+        # fresh lists rebound in the assignment/rescore loops below);
+        # nothing downstream mutates an unmapped read's alignments
+        default_pair = [sw.Alignment(), sw.Alignment()]
+        default_conv = [0, 0]
         built: List[AlignerArguments] = []
         for r in range(n):
             rl = lens_l[r]
@@ -420,8 +425,8 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             aa.position = pos_l[r]
             aa.chromosome_id = chrom_l[r]
             aa.mask_len = rl // 2 if rl >= 30 else 15
-            aa.alignments = [sw.Alignment(), sw.Alignment()]
-            aa.num_conversions = [0, 0]
+            aa.alignments = default_pair
+            aa.num_conversions = default_conv
             if unmapped_l[r]:
                 aa.flag |= 0x4
             built.append(aa)
@@ -542,9 +547,8 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     _mark("fallback_pairs")
     for i, r in enumerate(m):
         aa = out[r]
-        aa.alignments[0] = als[2 * i]
+        aa.alignments = [als[2 * i], als[2 * i + 1]]  # rebind, never mutate
         aa.flag = als[2 * i].flag
-        aa.alignments[1] = als[2 * i + 1]
         aa.flag_rc = als[2 * i + 1].flag
 
     # native batched rescoring (comparefk, mappinghandler.cu:747-766):
@@ -594,8 +598,7 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             a0.sw_score_next_best = nb_l[2 * i]
             a1.sw_score = sw_l[2 * i + 1]
             a1.sw_score_next_best = nb_l[2 * i + 1]
-            aa.num_conversions[0] = conv_l[2 * i]
-            aa.num_conversions[1] = conv_l[2 * i + 1]
+            aa.num_conversions = [conv_l[2 * i], conv_l[2 * i + 1]]
         _mark("rescore")
         if _marks is not None:
             for (l0, t0), (l1, t1) in zip(_marks, _marks[1:]):
