@@ -78,6 +78,11 @@ class WindowStreamMapper:
             sigs[:n], valid[:n], opts.kmer_length,
             np.asarray(self.hash_ids))
         self.index.build_buckets()
+        if opts.three_n_seeding and opts.probe_cap < 1023:
+            # direct probe for the 3N config; the parity config keeps the
+            # binary search (its lazy max-values-per-key drop rule needs
+            # exact counts, which the cuckoo payload saturates)
+            self.index.build_cuckoo()
         # per-read plane packing, once
         from ..ops import shd as shd_mod
         self.read_planes = shd_mod.pack_read_planes(
@@ -88,6 +93,7 @@ class WindowStreamMapper:
         i = self.index
         return self._window_batch_impl(
             i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
+            i.cuckoo_keys, i.cuckoo_payload,
             self.read_planes, self.read_lengths, self.hash_ids,
             genome_hi, genome_lo, chrom_goff, win_bases, win_len, win_pos,
             chrom_len, win_valid)
@@ -95,6 +101,7 @@ class WindowStreamMapper:
     @partial(jax.jit, static_argnames=("self",))
     def _window_batch_impl(self, index_keys, index_offsets, index_values,
                            index_num_keys, bucket_start,
+                           cuckoo_keys, cuckoo_payload,
                            read_planes, read_lengths_all, hash_ids,
                            genome_hi, genome_lo, chrom_goff: jnp.ndarray,
                            win_bases: jnp.ndarray, win_len: jnp.ndarray,
@@ -121,6 +128,11 @@ class WindowStreamMapper:
         # the lazy key-cap emulates the reference read-index GroupByKey drop
         # (parity feature); the 3N config has no drop rule, matching the
         # inverted engine (engine.map_reads disables it in 3N mode)
+        cuckoo_kw = {}
+        if cuckoo_keys is not None:
+            cuckoo_kw = dict(cuckoo=(cuckoo_keys, cuckoo_payload),
+                             cuckoo_bits=self.index.cuckoo_bits,
+                             cuckoo_seeds=self.index.cuckoo_seeds)
         cand, counts = mi.probe_tables(
             index_keys, index_offsets, index_values,
             index_num_keys, sigs, sig_valid, opts.probe_cap,
@@ -128,7 +140,7 @@ class WindowStreamMapper:
             probe_steps=self.index.probe_steps,
             max_values_per_key=(0 if opts.three_n_seeding
                                 else opts.max_results_per_map),
-            fnc_layout=True)
+            fnc_layout=True, **cuckoo_kw)
         ids, _cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
 
