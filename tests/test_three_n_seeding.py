@@ -106,3 +106,39 @@ def test_three_n_through_default_map_reads():
         lens[i] = len(e)
     res = mapper.map_reads(bases, lens)  # defaults: emulate_read_key_drop=True
     assert int((res.orientation != 3).sum()) >= len(reads) * 0.8
+
+
+def test_directional_protocol_assumption():
+    """3N probes the directional strands only: C->T in READ space maps;
+    G->A-in-read-space reads (undirectional/PBAT strands) do not — the
+    documented capability boundary (README 3N bullet, ROADMAP #10)."""
+    import numpy as np
+    from hashreadmapper_tpu.config import ProgramOptions
+    from hashreadmapper_tpu.io.genome import Genome
+    from hashreadmapper_tpu.pipeline.engine import CoarseMapper
+
+    rng = np.random.default_rng(41)
+    chrom_bases = rng.integers(0, 4, size=100_000, dtype=np.int8)
+    genome = Genome(["chrD"],
+                    ["".join(np.array(list("ACGT"))[chrom_bases])])
+    starts = rng.integers(0, 100_000 - 100, size=128)
+    frag = chrom_bases[starts[:, None] + np.arange(100)[None, :]].copy()
+    # directional: C->T applied in read space (fwd reads here)
+    fwd = frag.copy()
+    conv = (fwd == 1) & (rng.random(fwd.shape) < 0.9)
+    fwd[conv] = 3
+    # PBAT-like: G->A in read space
+    pbat = frag.copy()
+    conv = (pbat == 2) & (rng.random(pbat.shape) < 0.9)
+    pbat[conv] = 0
+    opts = ProgramOptions(
+        kmer_length=16, num_hash_functions=8, window_size=128,
+        min_table_hits=2, batchsize=128, max_hamming_percent=0.05,
+        probe_cap=8, candidates_per_read_cap=8, max_read_length=128,
+        three_n_seeding=True)
+    m = CoarseMapper(genome, opts)
+    lens = np.full(128, 100, dtype=np.int32)
+    r_fwd = m.map_reads(fwd.astype(np.int8), lens)
+    r_pbat = m.map_reads(pbat.astype(np.int8), lens)
+    assert (r_fwd.orientation != 3).mean() > 0.9
+    assert (r_pbat.orientation != 3).mean() < 0.1
