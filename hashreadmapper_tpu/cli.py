@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--replicateGpuData", action="store_true")
     p.add_argument("--threeN", action="store_true",
                    help="bisulfite-aware 3N seeding (dual CT/GA indexes)")
+    p.add_argument("--undirectional", action="store_true",
+                   help="PBAT/undirectional BS protocol: also probe and "
+                        "align the complementary strand spaces (requires "
+                        "--threeN)")
     # TPU capacity knobs
     p.add_argument("--probeCap", type=int, default=64)
     p.add_argument("--candidatesPerRead", type=int, default=32)
@@ -123,6 +127,7 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         quality_score_bits=args.qualityScoreBits,
         replicate_index=args.replicateGpuData,
         three_n_seeding=args.threeN,
+        undirectional=args.undirectional,
         probe_cap=args.probeCap,
         candidates_per_read_cap=args.candidatesPerRead,
         shd_pairs_per_read_budget=args.shdPairBudget,

@@ -85,6 +85,12 @@ class ProgramOptions:
     # seeding on raw canonical k-mers (the reference's 3N seeding is
     # commented out, hammingdistancekernels.cu:204).
     three_n_seeding: bool = False
+    # Undirectional (PBAT) bisulfite support: ALSO probe/evaluate the two
+    # complementary-strand spaces (GA(read) vs the GA window tables,
+    # CT(RC read) vs the CT tables, mirrored SHD collapses), so
+    # G->A-in-read-space reads map too.  Requires three_n_seeding.  Exceeds
+    # the reference (whose commented-out 3N seeding was directional-only).
+    undirectional: bool = False
     # Max candidate window ids returned per (read, table) probe.
     probe_cap: int = 64
     # Max candidate windows kept per read after the min-table-hits vote.
@@ -139,3 +145,5 @@ class ProgramOptions:
             "reference asserts hashFuncId < 64 (gpusequencehasher.cuh:138)")
         assert self.window_size > self.kmer_length
         assert self.batchsize > 0
+        assert not self.undirectional or self.three_n_seeding, (
+            "--undirectional extends the 3N mode; enable --threeN")

@@ -325,12 +325,16 @@ def shd_pairs_bitplane_3n(genome_concat: jnp.ndarray,
 
 
 def pack_read_planes(read_bases: jnp.ndarray, read_len: jnp.ndarray,
-                     three_n: bool):
+                     three_n: bool, undirectional: bool = False):
     """Per-READ plane packing for the packed SHD: returns
     (hi_o0, lo_o0, hi_o1, lo_o1, mask) each [N, wr].  Orientation 0 is the
     read (CT-collapsed in 3N mode); orientation 1 is its reverse complement
-    (GA-collapsed in 3N mode).  Pack once per read, then gather rows per
-    pair — kcap x cheaper than packing per pair."""
+    (GA-collapsed in 3N mode).  With undirectional=True the collapses are
+    MIRRORED — orientation 0 GA-collapsed, orientation 1 CT-collapsed —
+    for the PBAT strands (a G->A-in-read-space read matches the window's
+    GA space forward, and its RC matches the CT space).  Pack once per
+    read, then gather rows per pair — kcap x cheaper than packing per
+    pair."""
     from . import shd_pallas
 
     n, lr = read_bases.shape
@@ -339,7 +343,10 @@ def pack_read_planes(read_bases: jnp.ndarray, read_len: jnp.ndarray,
     src = jnp.clip(read_len[:, None] - 1 - read_iota, 0, lr - 1)
     rc_bases = (3 - jnp.take_along_axis(
         read_bases.astype(jnp.int32), src, axis=1)).astype(jnp.int8)
-    if three_n:
+    if three_n and undirectional:
+        o0 = jnp.where(read_bases == 2, jnp.int8(0), read_bases)
+        o1 = jnp.where(rc_bases == 1, jnp.int8(3), rc_bases)
+    elif three_n:
         o0 = jnp.where(read_bases == 1, jnp.int8(3), read_bases)
         o1 = jnp.where(rc_bases == 2, jnp.int8(0), rc_bases)
     else:
@@ -350,13 +357,17 @@ def pack_read_planes(read_bases: jnp.ndarray, read_len: jnp.ndarray,
     return hi0, lo0, hi1, lo1, mask
 
 
-@partial(jax.jit, static_argnames=("params", "three_n"))
+@partial(jax.jit, static_argnames=("params", "three_n", "undirectional"))
 def shd_pairs_packed_planes(genome_hi, genome_lo,
                             anchor_global_start, anchor_length, anchor_left,
                             r_hi_f, r_lo_f, r_hi_r, r_lo_r, mask,
                             read_len, pair_valid, params: ShdParams,
-                            three_n: bool = False) -> ShdResult:
-    """Packed SHD over pairs whose read planes are already packed/gathered."""
+                            three_n: bool = False,
+                            undirectional: bool = False) -> ShdResult:
+    """Packed SHD over pairs whose read planes are already packed/gathered.
+
+    undirectional=True mirrors the window collapses (orientation 0 GA,
+    orientation 1 CT) to match pack_read_planes(undirectional=True)."""
     from . import shd_pallas
 
     p, wr = r_hi_f.shape
@@ -371,7 +382,10 @@ def shd_pairs_packed_planes(genome_hi, genome_lo,
         0, nwords_genome - 1)
     a_hi = jnp.take(genome_hi, widx)                       # [P, wa_pad]
     a_lo = jnp.take(genome_lo, widx)
-    if three_n:
+    if three_n and undirectional:
+        f_hi, f_lo = shd_pallas.collapse_planes_ga(a_hi, a_lo)
+        r2_hi, r2_lo = shd_pallas.collapse_planes_ct(a_hi, a_lo)
+    elif three_n:
         f_hi, f_lo = shd_pallas.collapse_planes_ct(a_hi, a_lo)
         r2_hi, r2_lo = shd_pallas.collapse_planes_ga(a_hi, a_lo)
     else:

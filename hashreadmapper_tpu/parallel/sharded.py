@@ -62,6 +62,10 @@ class ShardedCoarseMapper:
     """Table-sharded, data-parallel coarse mapper over a 2D mesh."""
 
     def __init__(self, genome: Genome, opts: ProgramOptions, mesh: Mesh):
+        assert not opts.undirectional, (
+            "undirectional mode is single-chip engine only for now "
+            "(the sharded step's signature block probes the directional "
+            "spaces)")
         self.mesh = mesh
         self.opts = opts
         n_table = mesh.shape["table"]
@@ -263,7 +267,7 @@ class ShardedCoarseMapper:
 
             from ..pipeline.engine import coarse_pairs_best
             (out_ori32, out_ham, out_shift, out_chrom, out_pos, best_gwin,
-             has, _ori, pair_drops) = coarse_pairs_best(
+             has, _ori, _strand, pair_drops) = coarse_pairs_best(
                 ids, read_bases, read_len, opts, lr, genome_hi, genome_lo,
                 win_pos, win_chrom, chrom_offset, chrom_len)
             out_ori = out_ori32.astype(jnp.int8)

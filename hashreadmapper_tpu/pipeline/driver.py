@@ -49,7 +49,7 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
             futs.append((c0, ex.submit(
                 mapping.run_cssw, genome, genome_rc, res.orientation,
                 res.position, res.chromosome_id, reads.slice_rows(c0, c1),
-                opts)))
+                opts, res.bs_strand)))
         mappingout = []
         for c0, f in futs:
             part = f.result()
@@ -71,7 +71,10 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
         shift=cat("shift"), chromosome_id=cat("chromosome_id"),
         position=cat("position"), global_window_id=cat("global_window_id"),
         stats=stats,
-        global_window_id64=(np.concatenate(g64) if g64 else None))
+        global_window_id64=(np.concatenate(g64) if g64 else None),
+        bs_strand=(cat("bs_strand")
+                   if all(r.bs_strand is not None for r in res_parts)
+                   else None))
     return results, mappingout
 
 
@@ -161,7 +164,7 @@ def run_pipeline(opts: ProgramOptions,
             if not pipelined:
                 mappingout = mapping.run_cssw(
                     genome, genome_rc, results.orientation, results.position,
-                    results.chromosome_id, reads, opts)
+                    results.chromosome_id, reads, opts, results.bs_strand)
             sam_path = opts.outputfile + ".SAM"
             sam_stats = mapping.print_to_sam(mappingout, genome, sam_path)
         else:

@@ -61,6 +61,9 @@ class CoarseResults:
     # full-width window ordinal (region-sharded >2 Gbp genomes exceed
     # uint32); None when the mapper's ordinals fit global_window_id
     global_window_id64: Optional[np.ndarray] = None
+    # bisulfite strand space per read: 0 = directional C->T, 1 = mirrored
+    # PBAT G->A (only set under opts.undirectional; see config)
+    bs_strand: Optional[np.ndarray] = None
 
 
 def build_window_table(genome: Genome, segments=None,
@@ -153,8 +156,10 @@ def coarse_pairs_best(ids, read_bases, read_len, opts, lr, genome_hi,
     window/plane gathers, with overflow beyond batch*budget counted in
     pair_drops (those pairs score as SHD-rejected).
 
-    Returns (out_ori, out_ham, out_shift, out_chrom, out_pos, best_gwin
-    [all [B] int32], has [B] bool, ori [B, K], pair_drops scalar).
+    Returns (out_ori, out_ham, out_shift, out_chrom, out_pos, best_gwin,
+    out_strand [all [B] int32], has [B] bool, ori [B, K], pair_drops
+    scalar).  out_strand: 0 = directional (C->T read space), 1 = mirrored
+    PBAT space (only under opts.undirectional).
     """
     b, kcap = ids.shape
     gwin = ids.reshape(-1)
@@ -196,29 +201,51 @@ def coarse_pairs_best(ids, read_bases, read_len, opts, lr, genome_hi,
         max_ext_len=opts.window_size + opts.max_read_length,
         max_read_len=lr,
         max_hamming_percent=opts.max_hamming_percent)
-    hi0, lo0, hi1, lo1, pmask = shd.pack_read_planes(
-        read_bases, read_len, opts.three_n_seeding)
-    res = shd.shd_pairs_packed_planes(
-        genome_hi, genome_lo, coff + loc.start, loc.length, loc.left,
-        jnp.take(hi0, ridx, axis=0), jnp.take(lo0, ridx, axis=0),
-        jnp.take(hi1, ridx, axis=0), jnp.take(lo1, ridx, axis=0),
-        jnp.take(pmask, ridx, axis=0), rl_rep,
-        sel_valid, params, three_n=opts.three_n_seeding)
+
+    def eval_pairs(undirectional):
+        hi0, lo0, hi1, lo1, pmask = shd.pack_read_planes(
+            read_bases, read_len, opts.three_n_seeding,
+            undirectional=undirectional)
+        return shd.shd_pairs_packed_planes(
+            genome_hi, genome_lo, coff + loc.start, loc.length, loc.left,
+            jnp.take(hi0, ridx, axis=0), jnp.take(lo0, ridx, axis=0),
+            jnp.take(hi1, ridx, axis=0), jnp.take(lo1, ridx, axis=0),
+            jnp.take(pmask, ridx, axis=0), rl_rep,
+            sel_valid, params, three_n=opts.three_n_seeding,
+            undirectional=undirectional)
+
+    res = eval_pairs(False)
+    if opts.undirectional:
+        # mirrored (PBAT) collapse spaces; per pair keep the lower-hamming
+        # evaluation, ties prefer the directional space (deterministic)
+        res_u = eval_pairs(True)
+        better_u = (res_u.orientation != shd.NONE) & (
+            (res.orientation == shd.NONE) | (res_u.hamming < res.hamming))
+        res_ham = jnp.where(better_u, res_u.hamming, res.hamming)
+        res_shf = jnp.where(better_u, res_u.shift, res.shift)
+        res_ori = jnp.where(better_u, res_u.orientation, res.orientation)
+        res_strand = better_u.astype(jnp.int32)
+    else:
+        res_ham, res_shf, res_ori = res.hamming, res.shift, res.orientation
+        res_strand = jnp.zeros_like(res.hamming)
 
     if compact:
         tgt = jnp.where(sel_valid, pair_sel, nk)
-        ham_f = jnp.zeros((nk,), res.hamming.dtype).at[tgt].set(
-            res.hamming, mode="drop")
-        shf_f = jnp.zeros((nk,), res.shift.dtype).at[tgt].set(
-            res.shift, mode="drop")
-        ori_f = jnp.full((nk,), shd.NONE, res.orientation.dtype).at[
-            tgt].set(res.orientation, mode="drop")
+        ham_f = jnp.zeros((nk,), res_ham.dtype).at[tgt].set(
+            res_ham, mode="drop")
+        shf_f = jnp.zeros((nk,), res_shf.dtype).at[tgt].set(
+            res_shf, mode="drop")
+        ori_f = jnp.full((nk,), shd.NONE, res_ori.dtype).at[
+            tgt].set(res_ori, mode="drop")
+        strand_f = jnp.zeros((nk,), jnp.int32).at[tgt].set(
+            res_strand, mode="drop")
     else:
-        ham_f, shf_f, ori_f = res.hamming, res.shift, res.orientation
+        ham_f, shf_f, ori_f, strand_f = res_ham, res_shf, res_ori, res_strand
 
     ham = ham_f.reshape(b, kcap)
     shf = shf_f.reshape(b, kcap)
     ori = ori_f.reshape(b, kcap)
+    strand = strand_f.reshape(b, kcap)
     good = ori != shd.NONE
 
     # best per read: min hamming, then earliest window (ids ascend =>
@@ -235,11 +262,12 @@ def coarse_pairs_best(ids, read_bases, read_len, opts, lr, genome_hi,
     out_ori = jnp.where(has, take(ori).astype(jnp.int32), shd.NONE)
     out_ham = jnp.where(has, take(ham), 0)
     out_shift = jnp.where(has, take(shf), 0)
+    out_strand = jnp.where(has, take(strand), 0)
     best_gwin_i = take(gwin_full.reshape(b, kcap))
     out_chrom = jnp.where(has, jnp.take(win_chrom, best_gwin_i), 0)
     out_pos = jnp.where(has, jnp.take(win_pos, best_gwin_i), 0)
     return (out_ori, out_ham, out_shift, out_chrom, out_pos, best_gwin_i,
-            has, ori, pair_drops)
+            has, ori, out_strand, pair_drops)
 
 
 @partial(jax.jit, static_argnames=("ws",))
@@ -522,35 +550,56 @@ class CoarseMapper:
             cuckoo_kw = dict(cuckoo=(cuckoo_keys, cuckoo_payload),
                              cuckoo_bits=self.index.cuckoo_bits,
                              cuckoo_seeds=self.index.cuckoo_seeds)
-        if tail_budget > 0:
-            cand, counts, tail_drops = mi.probe_tables(
+
+        def probe(sig_block):
+            if tail_budget > 0:
+                return mi.probe_tables(
+                    index_keys, index_offsets, index_values,
+                    index_num_keys, sig_block, sig_valid, opts.probe_cap,
+                    dropped_keys=(dropped_keys, dropped_num),
+                    bucket_start=bucket_start,
+                    probe_steps=self.index.probe_steps, fnc_layout=True,
+                    tail_budget=tail_budget, **cuckoo_kw)
+            c, cnt = mi.probe_tables(
                 index_keys, index_offsets, index_values,
-                index_num_keys, sigs, sig_valid, opts.probe_cap,
-                dropped_keys=(dropped_keys, dropped_num),
-                bucket_start=bucket_start,
-                probe_steps=self.index.probe_steps, fnc_layout=True,
-                tail_budget=tail_budget, **cuckoo_kw)
-        else:
-            cand, counts = mi.probe_tables(
-                index_keys, index_offsets, index_values,
-                index_num_keys, sigs, sig_valid, opts.probe_cap,
+                index_num_keys, sig_block, sig_valid, opts.probe_cap,
                 dropped_keys=(dropped_keys, dropped_num),
                 bucket_start=bucket_start,
                 probe_steps=self.index.probe_steps, fnc_layout=True,
                 **cuckoo_kw)
-            tail_drops = jnp.int32(0)
+            return c, cnt, jnp.int32(0)
+
+        cand, counts, tail_drops = probe(sigs)
+        if opts.undirectional:
+            # PBAT strands: the same 2F window tables probed with the
+            # mirrored query spaces — CT(RC read) against the CT tables,
+            # GA(read) against the GA tables
+            rc_ct = jnp.where(rc == 1, jnp.int8(3), rc)
+            read_ga = jnp.where(read_bases == 2, jnp.int8(0), read_bases)
+            sig_rcct, _ = minhash.minhash_signatures(
+                rc_ct, read_len, opts.kmer_length, hash_ids,
+                canonical=False)
+            sig_rga, _ = minhash.minhash_signatures(
+                read_ga, read_len, opts.kmer_length, hash_ids,
+                canonical=False)
+            sigs_u = jnp.concatenate([sig_rcct, sig_rga], axis=1)
+            cand_u, counts_u, tail_drops_u = probe(sigs_u)
+            cand = jnp.concatenate([cand, cand_u], axis=0)     # [4F, N, C]
+            counts = jnp.concatenate([counts, counts_u], axis=0)
+            tail_drops = tail_drops + tail_drops_u
         ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
 
         (out_ori, out_ham, out_shift, out_chrom, out_pos, best_gwin_i, has,
-         ori, pair_drops) = coarse_pairs_best(
+         ori, out_strand, pair_drops) = coarse_pairs_best(
             ids, read_bases, read_len, opts, lr, genome_hi, genome_lo,
             win_pos, win_chrom, chrom_offset, chrom_len)
         out_gwin = jnp.where(has, best_gwin_i, -1)  # -1 == SENTINEL bits
 
         # single packed output: one device->host transfer shape per batch
         packed = jnp.stack(
-            [out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin],
+            [out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin,
+             out_strand],
             axis=1)
         overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
                               jnp.sum(num_kept > kcap), pair_drops,
@@ -701,7 +750,8 @@ class CoarseMapper:
                 position=np.zeros(0, dtype=np.int32),
                 global_window_id=np.zeros(0, dtype=np.uint32),
                 stats={"probe_overflow": 0, "vote_overflow": 0,
-                       "pair_budget_overflow": 0, "probe_tail_overflow": 0})
+                       "pair_budget_overflow": 0, "probe_tail_overflow": 0},
+                bs_strand=np.zeros(0, dtype=np.int8))
         assert lr <= opts.max_read_length, (
             f"reads longer than max_read_length ({lr} > {opts.max_read_length})")
         if lr < opts.max_read_length:
@@ -779,4 +829,5 @@ class CoarseMapper:
             stats={"probe_overflow": int(all_overflow[0]),
                    "vote_overflow": int(all_overflow[1]),
                    "pair_budget_overflow": int(all_overflow[2]),
-                   "probe_tail_overflow": int(all_overflow[3])})
+                   "probe_tail_overflow": int(all_overflow[3])},
+            bs_strand=all_packed[:, 6].astype(np.int8))

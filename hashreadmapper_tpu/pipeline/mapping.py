@@ -34,6 +34,8 @@ from ..cpu import oracle
 
 FORWARD, REVERSE_COMPLEMENT, NONE = 1, 2, 3
 
+_COMPLEMENT = str.maketrans("ACGT", "TGCA")
+
 
 class AlignerArguments:
     """Mirror of the reference's AlignerArguments (mappinghandler.cuh:67-100).
@@ -48,6 +50,7 @@ class AlignerArguments:
     __slots__ = ("read_id", "query", "ref", "rc_ref", "window_length",
                  "position", "chromosome_id", "flag", "flag_rc",
                  "alignments", "num_conversions", "mask_len", "qual",
+                 "bs_strand",
                  "_rc_query", "_three_n_query", "_three_n_rc_query",
                  "_three_n_ref")
 
@@ -69,6 +72,9 @@ class AlignerArguments:
         # useQualityScores — the reference parses the flag but always
         # writes '*' (mappinghandler.cu:196-293); real QUAL exceeds it.
         self.qual = ""
+        # 0 = directional C->T space; 1 = mirrored PBAT G->A space
+        # (opts.undirectional coarse stage sets it per read)
+        self.bs_strand = 0
         self._rc_query = None
         self._three_n_query = None
         self._three_n_rc_query = None
@@ -87,7 +93,7 @@ class AlignerArguments:
     @property
     def three_n_query(self):
         if self._three_n_query is None:
-            self._three_n_query = _three_n(self.query)
+            self._three_n_query = _three_n(self.query, self.bs_strand)
         return self._three_n_query
 
     @three_n_query.setter
@@ -97,7 +103,7 @@ class AlignerArguments:
     @property
     def three_n_rc_query(self):
         if self._three_n_rc_query is None:
-            self._three_n_rc_query = _three_n(self.rc_query)
+            self._three_n_rc_query = _three_n(self.rc_query, self.bs_strand)
         return self._three_n_rc_query
 
     @three_n_rc_query.setter
@@ -107,7 +113,7 @@ class AlignerArguments:
     @property
     def three_n_ref(self):
         if self._three_n_ref is None:
-            self._three_n_ref = _three_n(self.ref)
+            self._three_n_ref = _three_n(self.ref, self.bs_strand)
         return self._three_n_ref
 
     @three_n_ref.setter
@@ -115,8 +121,11 @@ class AlignerArguments:
         self._three_n_ref = v
 
 
-def _three_n(s: str) -> str:
-    """NucleoideConverer (mappinghandler.cu:163-179): C -> T only."""
+def _three_n(s: str, bs_strand: int = 0) -> str:
+    """NucleoideConverer (mappinghandler.cu:163-179): C -> T only.
+    bs_strand=1 is the mirrored PBAT space: G -> A."""
+    if bs_strand:
+        return s.replace("G", "A")
     return s.replace("C", "T")
 
 
@@ -154,6 +163,13 @@ def rescore_alignment(aa: AlignerArguments, h: int) -> None:
     _query = aa.query if h else aa.rc_query
     _ref = aa.ref
     rc_ref = aa.rc_ref
+    if aa.bs_strand:
+        # mirrored PBAT space: complementing every sequence maps the G->A
+        # conversion patterns onto the reference's C->T walk below (the
+        # score matrix is match/mismatch only, hence complement-invariant)
+        _query = _query.translate(_COMPLEMENT)
+        _ref = _ref.translate(_COMPLEMENT)
+        rc_ref = rc_ref.translate(_COMPLEMENT)
     cig = parse_cigar(ali.cigar_string)
     ref_pos, alt_pos = 0, 0
     for op, length in cig:
@@ -222,7 +238,9 @@ def rescore_alignment(aa: AlignerArguments, h: int) -> None:
 def run_cssw(genome: Genome, genome_rc: Genome,
              orientation: np.ndarray, position: np.ndarray,
              chromosome_id: np.ndarray, reads: ReadStorage,
-             opts: ProgramOptions) -> List[AlignerArguments]:
+             opts: ProgramOptions,
+             bs_strand: Optional[np.ndarray] = None
+             ) -> List[AlignerArguments]:
     """The CSSW mapping stage over all reads (mappinghandler.cu:383-774).
 
     Production path: batched argument construction + device striped-SW
@@ -230,17 +248,25 @@ def run_cssw(genome: Genome, genome_rc: Genome,
     to the serial host path below (tests/test_mapping_device.py).
     """
     from .. import native
+    if bs_strand is None:
+        bs_strand = np.zeros(len(orientation), dtype=np.int8)
+    # The mirrored (G->A) STEP-2 treatment applies only to PBAT reads in
+    # FORWARD orientation: an RC-oriented PBAT read's conversions appear as
+    # C->T in query space (the RC of G->A), so the standard directional
+    # C->T treatment is already the right one for it.
+    bs_strand = ((np.asarray(bs_strand) != 0)
+                 & (np.asarray(orientation) == FORWARD)).astype(np.int8)
     out = None
     if (getattr(opts, "step2_device", False) and reads.num_reads > 0
             and native.available()):
         try:
             out = _run_cssw_device(genome, genome_rc, orientation, position,
-                                   chromosome_id, reads, opts)
+                                   chromosome_id, reads, opts, bs_strand)
         except ImportError:
             pass  # no jax -> host path
     if out is None:
         out = _run_cssw_host(genome, genome_rc, orientation, position,
-                             chromosome_id, reads, opts)
+                             chromosome_id, reads, opts, bs_strand)
     if opts.use_quality_scores and reads.qualities is not None:
         for aa in out:
             q = reads.get_quality_str(aa.read_id)
@@ -253,7 +279,9 @@ def run_cssw(genome: Genome, genome_rc: Genome,
 def _run_cssw_host(genome: Genome, genome_rc: Genome,
                    orientation: np.ndarray, position: np.ndarray,
                    chromosome_id: np.ndarray, reads: ReadStorage,
-                   opts: ProgramOptions) -> List[AlignerArguments]:
+                   opts: ProgramOptions,
+                   bs_strand: Optional[np.ndarray] = None
+                   ) -> List[AlignerArguments]:
     """Serial host reference path (the oracle for the device path)."""
     out: List[AlignerArguments] = []
     n = reads.num_reads
@@ -271,13 +299,15 @@ def _run_cssw_host(genome: Genome, genome_rc: Genome,
 
         aa = AlignerArguments()
         aa.read_id = r
+        if bs_strand is not None:
+            aa.bs_strand = int(bs_strand[r])
         aa.query = query
         aa.rc_query = oracle.revcomp_str(query)
-        aa.three_n_query = _three_n(query)
-        aa.three_n_rc_query = _three_n(aa.rc_query)
+        aa.three_n_query = _three_n(query, aa.bs_strand)
+        aa.three_n_rc_query = _three_n(aa.rc_query, aa.bs_strand)
         aa.ref = window
         aa.rc_ref = window_rc
-        aa.three_n_ref = _three_n(window)
+        aa.three_n_ref = _three_n(window, aa.bs_strand)
         aa.window_length = wlen
         aa.position = pos
         aa.chromosome_id = chrom
@@ -329,6 +359,9 @@ def _run_cssw_host(genome: Genome, genome_rc: Genome,
 
 _B4 = np.frombuffer(b"ACGT", dtype=np.uint8)
 _B5 = np.frombuffer(b"ACGTN", dtype=np.uint8)
+_COMPL_U8 = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ACGT", b"TGCA"):
+    _COMPL_U8[_a] = _b
 _3N_ASCII = np.arange(256, dtype=np.uint8)
 _3N_ASCII[ord("C")] = ord("T")
 
@@ -336,7 +369,9 @@ _3N_ASCII[ord("C")] = ord("T")
 def _run_cssw_device(genome: Genome, genome_rc: Genome,
                      orientation: np.ndarray, position: np.ndarray,
                      chromosome_id: np.ndarray, reads: ReadStorage,
-                     opts: ProgramOptions) -> List[AlignerArguments]:
+                     opts: ProgramOptions,
+                     bs_strand: Optional[np.ndarray] = None
+                     ) -> List[AlignerArguments]:
     """Batched STEP 2: vectorized argument prep (replaces the reference's
     serial per-read loop, mappinghandler.cu:397-553), device striped-SW
     score passes (ops/swdev.py), native CIGAR-only finish.  Bit-identical
@@ -407,6 +442,9 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         pos_l = position.tolist()
         chrom_l = chromosome_id.tolist()
         unmapped_l = (orientation == NONE).tolist()
+        strand_l = (bs_strand.tolist()
+                    if bs_strand is not None and (bs_strand != 0).any()
+                    else None)
         # unmapped reads share ONE read-only default pair (mapped reads get
         # fresh lists rebound in the assignment/rescore loops below);
         # nothing downstream mutates an unmapped read's alignments
@@ -427,6 +465,8 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             aa.mask_len = rl // 2 if rl >= 30 else 15
             aa.alignments = default_pair
             aa.num_conversions = default_conv
+            if strand_l is not None and strand_l[r]:
+                aa.bs_strand = 1
             if unmapped_l[r]:
                 aa.flag |= 0x4
             built.append(aa)
@@ -438,11 +478,25 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         out, q_ascii, rcq_ascii = build_out()
         _mark("aa_build")
         return out
-    # device pairs: [2i] = 3N query, [2i+1] = 3N RC query, same 3N ref
-    q3n = np.where(fwd_mat == 1, 3, fwd_mat).astype(np.int8)
-    rcq3n = np.where(rcq_mat == 1, 3, rcq_mat).astype(np.int8)
-    ref3n = sw.TRANSLATE[win].astype(np.int8)
-    ref3n = np.where(ref3n == 1, 3, ref3n)
+    # device pairs: [2i] = 3N query, [2i+1] = 3N RC query, same 3N ref.
+    # bs_strand=1 reads use the mirrored PBAT collapse (G->A).
+    und = (bs_strand is not None and bool((bs_strand != 0).any()))
+    sc = (bs_strand != 0)[:, None] if und else None
+    def collapse(mat):
+        ct = np.where(mat == 1, 3, mat)
+        if not und:
+            return ct.astype(np.int8)
+        ga = np.where(mat == 2, 0, mat)
+        return np.where(sc, ga, ct).astype(np.int8)
+    q3n = collapse(fwd_mat)
+    rcq3n = collapse(rcq_mat)
+    reft = sw.TRANSLATE[win].astype(np.int8)
+    ref_ct = np.where(reft == 1, 3, reft)
+    if und:
+        ref_ga = np.where(reft == 2, 0, reft)
+        ref3n = np.where(sc, ref_ga, ref_ct).astype(np.int8)
+    else:
+        ref3n = ref_ct
     P = 2 * nm
     pair_q = np.empty((P, lq), np.int8)
     pair_q[0::2] = q3n[m]
@@ -564,6 +618,14 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         qa_len = np.repeat(lens[m], 2).astype(np.int32)
         ref_rows = np.repeat(win[m], 2, axis=0)
         rcref_rows = np.repeat(win_rc[m], 2, axis=0)
+        if und:
+            # mirrored PBAT rescore via the complement trick (see
+            # rescore_alignment): complement every sequence of style-1
+            # alignments so the native C->T walk counts G->A conversions
+            sp = np.repeat((bs_strand[m] != 0), 2)[:, None]
+            qa = np.where(sp, _COMPL_U8[qa], qa)
+            ref_rows = np.where(sp, _COMPL_U8[ref_rows], ref_rows)
+            rcref_rows = np.where(sp, _COMPL_U8[rcref_rows], rcref_rows)
         wl2 = np.repeat(wlens[m], 2).astype(np.int32)
         cigs = [als[k].cigar_string for k in range(na)]
         cig_pool = "".join(cigs).encode("latin1")

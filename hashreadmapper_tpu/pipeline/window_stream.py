@@ -42,6 +42,8 @@ class WindowStreamMapper:
     def __init__(self, read_bases: np.ndarray, read_lengths: np.ndarray,
                  opts: ProgramOptions):
         opts.validate()
+        assert not opts.undirectional, (
+            "undirectional mode is supported by the inverted engine only")
         self.opts = opts
         n, lr = read_bases.shape
         if lr < opts.max_read_length:
