@@ -98,7 +98,8 @@ def region_key_payload(mapper: CoarseMapper, packed: np.ndarray,
     from the region mapper's device step.  Returns
       key      [N] int64: (hamming << 40) | global window ordinal
                (2**62 when unmapped) — the associative merge key,
-      payload  [N, 5] int32: ori, ham, shift, TRUE chrom id, pos,
+      payload  [N, 6] int32: ori, ham, shift, TRUE chrom id, pos,
+               bs_strand,
       gwin_global [N] int64 (-1 when unmapped).
     Shared by the host-side merge below and the multi-host collective
     (parallel/multihost.py::merge_region_results)."""
@@ -118,7 +119,8 @@ def region_key_payload(mapper: CoarseMapper, packed: np.ndarray,
     key = np.where(mapped, (ham.astype(np.int64) << 40) + gwin_global,
                    np.int64(2**62))
     payload = np.stack(
-        [ori, ham, packed[:, 2], seg_chrom[seg_c] * mapped, packed[:, 4]],
+        [ori, ham, packed[:, 2], seg_chrom[seg_c] * mapped, packed[:, 4],
+         packed[:, 6]],
         axis=1).astype(np.int32)
     return key, payload, gwin_global
 
@@ -174,7 +176,8 @@ class RegionShardedMapper:
             position=np.zeros(n, dtype=np.int32),
             global_window_id=np.full(n, SENTINEL, dtype=np.uint32),
             stats={"probe_overflow": 0, "vote_overflow": 0,
-                   "pair_budget_overflow": 0, "probe_tail_overflow": 0})
+                   "pair_budget_overflow": 0, "probe_tail_overflow": 0},
+            bs_strand=np.zeros(n, dtype=np.int8))
         best_key = np.full(n, 2**62, dtype=np.int64)
         # region-sharded global ordinals exceed uint32 for >2 Gbp genomes;
         # expose the full-width ordinal alongside the uint32 field
@@ -212,6 +215,7 @@ class RegionShardedMapper:
             out.shift[better] = payload[better, 2]
             out.chromosome_id[better] = payload[better, 3]
             out.position[better] = payload[better, 4]
+            out.bs_strand[better] = payload[better, 5].astype(np.int8)
             out_gwin64[better] = gwin_global[better]
             out.global_window_id[better] = (
                 gwin_global[better] & 0xFFFFFFFF).astype(np.uint32)

@@ -173,3 +173,31 @@ def test_undirectional_e2e_sam(tmp_path):
         if f[0].isdigit() and not (int(f[1]) & 4):
             mapped += 1
     assert mapped > 0.85 * len(lengths)
+
+
+def test_undirectional_region_sharded():
+    """Region-sharded mapping carries the bs_strand label through the
+    cross-region merge and matches the single-mapper results."""
+    from hashreadmapper_tpu.parallel.region_sharded import RegionShardedMapper
+
+    rng = np.random.default_rng(83)
+    chroms = [rng.integers(0, 4, size=60_000, dtype=np.int8)
+              for _ in range(2)]
+    genome = Genome(["c0", "c1"],
+                    ["".join(np.array(list("ACGT"))[c]) for c in chroms])
+    cat = np.concatenate(chroms)
+    reads, lengths, starts, kind = four_strand_reads(rng, cat, 24)
+    opts = make_opts(True)
+
+    single = CoarseMapper(genome, opts).map_reads(
+        reads.copy(), lengths.copy(), emulate_read_key_drop=False)
+    region = RegionShardedMapper(genome, opts, 4,
+                                 partition="window").map_reads(
+        reads.copy(), lengths.copy())
+    np.testing.assert_array_equal(region.orientation, single.orientation)
+    mapped = single.orientation != 3
+    np.testing.assert_array_equal(region.position[mapped],
+                                  single.position[mapped])
+    np.testing.assert_array_equal(region.bs_strand[mapped],
+                                  single.bs_strand[mapped])
+    assert (region.bs_strand[mapped & (kind >= 2)] == 1).mean() > 0.9
