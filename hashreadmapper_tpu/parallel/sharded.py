@@ -62,10 +62,6 @@ class ShardedCoarseMapper:
     """Table-sharded, data-parallel coarse mapper over a 2D mesh."""
 
     def __init__(self, genome: Genome, opts: ProgramOptions, mesh: Mesh):
-        assert not opts.undirectional, (
-            "undirectional mode is single-chip engine only for now "
-            "(the sharded step's signature block probes the directional "
-            "spaces)")
         self.mesh = mesh
         self.opts = opts
         n_table = mesh.shape["table"]
@@ -232,35 +228,55 @@ class ShardedCoarseMapper:
             n_table = jax.lax.axis_size("table")
             t_idx = jax.lax.axis_index("table")
             f_local = self.n_tables // n_table
-            local_sigs = jax.lax.dynamic_slice_in_dim(
-                sigs, t_idx * f_local, f_local, axis=1)
             tail_budget = b * opts.probe_tail_budget_per_read
             cuckoo_kw = {}
             if self._use_cuckoo:
                 cuckoo_kw = dict(cuckoo=(cuckoo_k, cuckoo_p),
                                  cuckoo_bits=self.cuckoo_bits,
                                  cuckoo_seeds=self.cuckoo_seeds)
-            if tail_budget > 0:
-                cand_local, counts_local, tail_drops = mi.probe_tables(
-                    keys, offsets, values, num_keys, local_sigs, sig_valid,
-                    opts.probe_cap,
-                    dropped_keys=(dropped_keys, dropped_num),
-                    fnc_layout=True, tail_budget=tail_budget, **cuckoo_kw)
-            else:
-                cand_local, counts_local = mi.probe_tables(
-                    keys, offsets, values, num_keys, local_sigs, sig_valid,
-                    opts.probe_cap,
-                    dropped_keys=(dropped_keys, dropped_num),
-                    fnc_layout=True, **cuckoo_kw)
-                tail_drops = jnp.int32(0)
 
-            # merge per-table partials: the reference P2P-gathers per-GPU
-            # counts/values (multigpuminhasher.cuh:740-907); here one
-            # all_gather over ICI re-assembles the [F, N, C] probe layout
-            cand = jax.lax.all_gather(
-                cand_local, "table", axis=0, tiled=True)
-            counts = jax.lax.all_gather(
-                counts_local, "table", axis=0, tiled=True)
+            def probe_gather(sig_block):
+                local_sigs = jax.lax.dynamic_slice_in_dim(
+                    sig_block, t_idx * f_local, f_local, axis=1)
+                if tail_budget > 0:
+                    cl, nl, td = mi.probe_tables(
+                        keys, offsets, values, num_keys, local_sigs,
+                        sig_valid, opts.probe_cap,
+                        dropped_keys=(dropped_keys, dropped_num),
+                        fnc_layout=True, tail_budget=tail_budget,
+                        **cuckoo_kw)
+                else:
+                    cl, nl = mi.probe_tables(
+                        keys, offsets, values, num_keys, local_sigs,
+                        sig_valid, opts.probe_cap,
+                        dropped_keys=(dropped_keys, dropped_num),
+                        fnc_layout=True, **cuckoo_kw)
+                    td = jnp.int32(0)
+                # merge per-table partials: the reference P2P-gathers
+                # per-GPU counts/values (multigpuminhasher.cuh:740-907);
+                # here one all_gather over ICI re-assembles [F, N, C]
+                return (jax.lax.all_gather(cl, "table", axis=0, tiled=True),
+                        jax.lax.all_gather(nl, "table", axis=0, tiled=True),
+                        td)
+
+            cand, counts, tail_drops = probe_gather(sigs)
+            if opts.undirectional:
+                # PBAT strands: mirrored query spaces vs the same tables
+                # (engine.py's undirectional block, sharded)
+                rc_ct = jnp.where(rc == 1, jnp.int8(3), rc)
+                read_ga = jnp.where(read_bases == 2, jnp.int8(0),
+                                    read_bases)
+                sig_rcct, _ = minhash.minhash_signatures(
+                    rc_ct, read_len, opts.kmer_length, hash_ids,
+                    canonical=False)
+                sig_rga, _ = minhash.minhash_signatures(
+                    read_ga, read_len, opts.kmer_length, hash_ids,
+                    canonical=False)
+                sigs_u = jnp.concatenate([sig_rcct, sig_rga], axis=1)
+                cand_u, counts_u, td_u = probe_gather(sigs_u)
+                cand = jnp.concatenate([cand, cand_u], axis=0)
+                counts = jnp.concatenate([counts, counts_u], axis=0)
+                tail_drops = tail_drops + td_u
 
             ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
                 cand, opts.min_table_hits, kcap)

@@ -201,3 +201,33 @@ def test_undirectional_region_sharded():
     np.testing.assert_array_equal(region.bs_strand[mapped],
                                   single.bs_strand[mapped])
     assert (region.bs_strand[mapped & (kind >= 2)] == 1).mean() > 0.9
+
+
+def test_undirectional_sharded_matches_single():
+    """Undirectional mode over the (data x table) mesh == single device."""
+    import jax
+    from hashreadmapper_tpu.parallel.sharded import (ShardedCoarseMapper,
+                                                     make_mesh)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(85)
+    chrom_bases = rng.integers(0, 4, size=30_000, dtype=np.int8)
+    genome = Genome(["cS"], ["".join(np.array(list("ACGT"))[chrom_bases])])
+    reads, lengths, starts, kind = four_strand_reads(
+        rng, chrom_bases, 16, read_len=40)
+    opts = ProgramOptions(
+        kmer_length=12, num_hash_functions=8, window_size=64,
+        min_table_hits=2, batchsize=16, max_hamming_percent=0.1,
+        probe_cap=16, candidates_per_read_cap=16, max_read_length=48,
+        three_n_seeding=True, undirectional=True)
+    want = CoarseMapper(genome, opts).map_reads(
+        reads.copy(), lengths.copy())
+    sharded = ShardedCoarseMapper(genome, opts, make_mesh(2, 4))
+    ori, ham, shift, chrom_id, pos, gwin, overflow = sharded.map_reads(
+        reads.copy(), lengths.copy())
+    np.testing.assert_array_equal(ori, want.orientation)
+    mapped = want.orientation != 3
+    np.testing.assert_array_equal(ham[mapped], want.hamming[mapped])
+    np.testing.assert_array_equal(pos[mapped], want.position[mapped])
+    # the mesh mapped the PBAT strands too
+    assert mapped[kind >= 2].mean() > 0.8
