@@ -42,8 +42,6 @@ class WindowStreamMapper:
     def __init__(self, read_bases: np.ndarray, read_lengths: np.ndarray,
                  opts: ProgramOptions):
         opts.validate()
-        assert not opts.undirectional, (
-            "undirectional mode is supported by the inverted engine only")
         self.opts = opts
         n, lr = read_bases.shape
         if lr < opts.max_read_length:
@@ -73,6 +71,20 @@ class WindowStreamMapper:
                 jnp.where(rc == 2, jnp.int8(0), rc), rl,
                 opts.kmer_length, self.hash_ids, chunk, canonical=False)
             sigs = jnp.concatenate([s_ct, s_ga], axis=1)       # [n, 2F]
+            if opts.undirectional:
+                # PBAT read-key spaces: tables [2F..3F) = CT(RC read),
+                # [3F..4F) = GA(read) — the mirror of the inverted
+                # engine's undirectional query blocks, so candidate pair
+                # sets stay identical (signature equality is symmetric)
+                s_rcct, _ = minhash.minhash_signatures_chunked(
+                    jnp.where(rc == 1, jnp.int8(3), rc), rl,
+                    opts.kmer_length, self.hash_ids, chunk,
+                    canonical=False)
+                s_rga, _ = minhash.minhash_signatures_chunked(
+                    jnp.where(rb == 2, jnp.int8(0), rb), rl,
+                    opts.kmer_length, self.hash_ids, chunk,
+                    canonical=False)
+                sigs = jnp.concatenate([sigs, s_rcct, s_rga], axis=1)
         else:
             sigs, valid = minhash.minhash_signatures_chunked(
                 rb, rl, opts.kmer_length, self.hash_ids, chunk)
@@ -89,6 +101,9 @@ class WindowStreamMapper:
         from ..ops import shd as shd_mod
         self.read_planes = shd_mod.pack_read_planes(
             self.read_bases, self.read_lengths, opts.three_n_seeding)
+        self.read_planes_u = (shd_mod.pack_read_planes(
+            self.read_bases, self.read_lengths, opts.three_n_seeding,
+            undirectional=True) if opts.undirectional else self.read_planes)
 
     def _window_batch(self, genome_hi, genome_lo, chrom_goff, win_bases,
                       win_len, win_pos, chrom_len, win_valid):
@@ -96,7 +111,8 @@ class WindowStreamMapper:
         return self._window_batch_impl(
             i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
             i.cuckoo_keys, i.cuckoo_payload,
-            self.read_planes, self.read_lengths, self.hash_ids,
+            self.read_planes, self.read_planes_u, self.read_lengths,
+            self.hash_ids,
             genome_hi, genome_lo, chrom_goff, win_bases, win_len, win_pos,
             chrom_len, win_valid)
 
@@ -104,7 +120,8 @@ class WindowStreamMapper:
     def _window_batch_impl(self, index_keys, index_offsets, index_values,
                            index_num_keys, bucket_start,
                            cuckoo_keys, cuckoo_payload,
-                           read_planes, read_lengths_all, hash_ids,
+                           read_planes, read_planes_u, read_lengths_all,
+                           hash_ids,
                            genome_hi, genome_lo, chrom_goff: jnp.ndarray,
                            win_bases: jnp.ndarray, win_len: jnp.ndarray,
                            win_pos: jnp.ndarray, chrom_len: jnp.ndarray,
@@ -123,6 +140,9 @@ class WindowStreamMapper:
                 jnp.where(win_bases == 2, jnp.int8(0), win_bases), win_len,
                 opts.kmer_length, hash_ids, canonical=False)
             sigs = jnp.concatenate([s_ct, s_ga], axis=1)       # [B, 2F]
+            if opts.undirectional:
+                # the same window collapses probe the PBAT table blocks
+                sigs = jnp.concatenate([sigs, s_ct, s_ga], axis=1)
         else:
             sigs, sig_valid = minhash.minhash_signatures(
                 win_bases, win_len, opts.kmer_length, hash_ids)
@@ -160,20 +180,36 @@ class WindowStreamMapper:
             max_ext_len=opts.window_size + opts.max_read_length,
             max_read_len=self.opts.max_read_length,
             max_hamming_percent=opts.max_hamming_percent)
-        hi0, lo0, hi1, lo1, pmask = read_planes
-        res = shd.shd_pairs_packed_planes(
-            genome_hi, genome_lo, chrom_goff + loc.start,
-            loc.length, loc.left,
-            jnp.take(hi0, rid_c, axis=0), jnp.take(lo0, rid_c, axis=0),
-            jnp.take(hi1, rid_c, axis=0), jnp.take(lo1, rid_c, axis=0),
-            jnp.take(pmask, rid_c, axis=0), r_len, pair_valid, params,
-            three_n=opts.three_n_seeding)
+        def eval_pairs(planes, undirectional):
+            hi0, lo0, hi1, lo1, pmask = planes
+            return shd.shd_pairs_packed_planes(
+                genome_hi, genome_lo, chrom_goff + loc.start,
+                loc.length, loc.left,
+                jnp.take(hi0, rid_c, axis=0), jnp.take(lo0, rid_c, axis=0),
+                jnp.take(hi1, rid_c, axis=0), jnp.take(lo1, rid_c, axis=0),
+                jnp.take(pmask, rid_c, axis=0), r_len, pair_valid, params,
+                three_n=opts.three_n_seeding, undirectional=undirectional)
 
-        out_rid = jnp.where(pair_valid & (res.orientation != shd.NONE),
-                            rid_c, -1)
+        res = eval_pairs(read_planes, False)
+        if opts.undirectional:
+            res_u = eval_pairs(read_planes_u, True)
+            better_u = (res_u.orientation != shd.NONE) & (
+                (res.orientation == shd.NONE)
+                | (res_u.hamming < res.hamming))
+            res_ham = jnp.where(better_u, res_u.hamming, res.hamming)
+            res_shf = jnp.where(better_u, res_u.shift, res.shift)
+            res_ori = jnp.where(better_u, res_u.orientation,
+                                res.orientation)
+            res_strand = better_u.astype(jnp.int32)
+        else:
+            res_ham, res_shf, res_ori = (res.hamming, res.shift,
+                                         res.orientation)
+            res_strand = jnp.zeros_like(res.hamming)
+
+        out_rid = jnp.where(pair_valid & (res_ori != shd.NONE), rid_c, -1)
         packed = jnp.stack(
-            [out_rid, res.hamming, res.shift,
-             res.orientation.astype(jnp.int32)], axis=1)
+            [out_rid, res_ham, res_shf, res_ori.astype(jnp.int32),
+             res_strand], axis=1)
         overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
                               jnp.sum(num_kept > kcap)])
         return packed, overflow
@@ -236,7 +272,8 @@ class WindowStreamMapper:
             global_window_id=np.full(self.num_reads, SENTINEL,
                                      dtype=np.uint32),
             stats={"probe_overflow": int(overflow[0]),
-                   "vote_overflow": int(overflow[1])})
+                   "vote_overflow": int(overflow[1])},
+            bs_strand=np.zeros(self.num_reads, dtype=np.int8))
 
         # host merge in genome order (reference: main_gpu.cu:777-821).
         # First-window-wins with strictly-smaller-hamming replacement is
@@ -272,6 +309,7 @@ class WindowStreamMapper:
             rows = np.flatnonzero(valid)[win]
             r = rid_v[win]
             out.orientation[r] = all_packed[rows, 3]
+            out.bs_strand[r] = all_packed[rows, 4].astype(np.int8)
             out.hamming[r] = all_packed[rows, 1]
             out.shift[r] = all_packed[rows, 2]
             out.chromosome_id[r] = chrom_rep[rows]

@@ -231,3 +231,30 @@ def test_undirectional_sharded_matches_single():
     np.testing.assert_array_equal(pos[mapped], want.position[mapped])
     # the mesh mapped the PBAT strands too
     assert mapped[kind >= 2].mean() > 0.8
+
+
+def test_undirectional_window_stream_matches_engine():
+    """Reference-orientation (window-stream) undirectional mode == the
+    inverted engine on four-strand reads."""
+    from hashreadmapper_tpu.pipeline.window_stream import WindowStreamMapper
+
+    rng = np.random.default_rng(87)
+    chrom_bases = rng.integers(0, 4, size=40_000, dtype=np.int8)
+    genome = Genome(["cW"], ["".join(np.array(list("ACGT"))[chrom_bases])])
+    reads, lengths, starts, kind = four_strand_reads(
+        rng, chrom_bases, 16, read_len=48)
+    opts = ProgramOptions(
+        kmer_length=12, num_hash_functions=8, window_size=64,
+        min_table_hits=2, batchsize=64, max_hamming_percent=0.1,
+        probe_cap=16, candidates_per_read_cap=16, max_read_length=64,
+        three_n_seeding=True, undirectional=True)
+    eng = CoarseMapper(genome, opts).map_reads(reads.copy(), lengths.copy())
+    ws = WindowStreamMapper(reads.copy(), lengths.copy(), opts).map_genome(
+        genome)
+    np.testing.assert_array_equal(ws.orientation, eng.orientation)
+    mapped = eng.orientation != 3
+    np.testing.assert_array_equal(ws.hamming[mapped], eng.hamming[mapped])
+    np.testing.assert_array_equal(ws.position[mapped], eng.position[mapped])
+    np.testing.assert_array_equal(ws.bs_strand[mapped],
+                                  eng.bs_strand[mapped])
+    assert mapped[kind >= 2].mean() > 0.8
