@@ -18,3 +18,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the process-wide compiled-executable accumulation: a full-suite
+    run holds hundreds of jitted programs otherwise (an XLA CPU compile
+    late in the suite has been seen to segfault under that state)."""
+    yield
+    jax.clear_caches()
