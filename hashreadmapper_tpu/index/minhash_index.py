@@ -411,7 +411,11 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
             jnp.int32)
         hit1 = jnp.take_along_axis(c_keys, p1, axis=1) == sigs_t
         hit2 = jnp.take_along_axis(c_keys, p2, axis=1) == sigs_t
-        found = (hit1 | hit2) & sig_valid[None, :]
+        # SENTINEL doubles as the empty-slot marker in c_keys: a (valid)
+        # query signature equal to SENTINEL would match empty slots, so
+        # mask it out explicitly rather than rely on the zero payload.
+        found = ((hit1 | hit2) & sig_valid[None, :]
+                 & (sigs_t != jnp.uint32(0xFFFFFFFF)))
         pay = jnp.take_along_axis(c_payload, jnp.where(hit1, p1, p2),
                                   axis=1)
         off0 = jnp.where(found, (pay >> 10).astype(jnp.int32), 0)

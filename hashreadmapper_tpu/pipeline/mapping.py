@@ -670,6 +670,10 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     for aa in out:
         if aa.flag & 0x4:
             continue
+        # build_out hands every read the shared default_conv list; the
+        # rescore below mutates num_conversions[h] in place, so rebind a
+        # fresh per-read list first (the native path rebinds its own)
+        aa.num_conversions = [0, 0]
         rescore_alignment(aa, 0)
         rescore_alignment(aa, 1)
     return out

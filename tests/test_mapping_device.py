@@ -138,6 +138,33 @@ def test_dispatcher_uses_device(monkeypatch):
                 _alignment_tuple(d.alignments[k])
 
 
+def test_python_fallback_rescore_distinct_conversions(monkeypatch):
+    """Regression: when libhrm_native.so lacks hrm_rescore_batch, the
+    Python-fallback rescore must not write every read's num_conversions
+    into one shared list (build_out's default_conv)."""
+    genome, genome_rc, ori, pos, chrom, store, opts = _setup(seed=5,
+                                                             n_reads=40)
+    host = mapping._run_cssw_host(genome, genome_rc, ori, pos, chrom,
+                                  store, opts)
+
+    real_lib = native.get_lib()
+
+    class HideRescore:
+        """Forwards to the real lib but hides hrm_rescore_batch."""
+        def __getattr__(self, name):
+            if name == "hrm_rescore_batch":
+                raise AttributeError(name)
+            return getattr(real_lib, name)
+
+    monkeypatch.setattr(native, "get_lib", lambda: HideRescore())
+    dev = mapping._run_cssw_device(genome, genome_rc, ori, pos, chrom,
+                                   store, opts)
+    mapped = [(h, d) for h, d in zip(host, dev) if not (h.flag & 0x4)]
+    assert len({id(d.num_conversions) for _, d in mapped}) == len(mapped)
+    for h, d in mapped:
+        assert h.num_conversions == d.num_conversions, h.read_id
+
+
 def test_small_chunk_padding():
     """Chunk padding (dummy pairs) must not contaminate results."""
     genome, genome_rc, ori, pos, chrom, store, opts = _setup(seed=21,

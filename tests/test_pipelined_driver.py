@@ -50,5 +50,7 @@ def test_pipelined_matches_sequential(tmp_path, three_n):
             open(opts.outputfile + ".VCF").read())
     assert outs["seq"][0] == outs["pipe"][0], "SAM differs"
     assert outs["seq"][1] == outs["pipe"][1], "VCF differs"
-    # the pipelined run actually split into multiple chunks
-    assert 200 > 64
+    # the pipelined run actually split into multiple chunks: n_reads must
+    # exceed the pipeline chunk size used for the "pipe" run above
+    n_reads = outs["seq"][0].count("\n@SQ")
+    assert n_reads > 64, f"dataset too small to exercise chunking: {n_reads}"
