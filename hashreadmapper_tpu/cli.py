@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--regions", type=int, default=0,
                    help="genome-region shards (0=auto; >2 Gbp genomes "
                         "always shard)")
+    p.add_argument("--mesh", nargs=2, type=int, default=None,
+                   metavar=("DATA", "TABLE"),
+                   help="run the coarse stage over a (data x table) device "
+                        "mesh: reads shard over DATA, hash tables over "
+                        "TABLE (the reference's multi-GPU mode, -g 0,1,..; "
+                        "composes with --regions for >2 Gbp genomes)")
     return p
 
 
@@ -135,6 +141,8 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         step2_pipeline_chunk=args.pipelineChunk,
         max_read_length=args.maxReadLength,
         num_regions=args.regions,
+        mesh_data=args.mesh[0] if args.mesh else None,
+        mesh_table=args.mesh[1] if args.mesh else None,
     )
 
 

@@ -56,6 +56,10 @@ class CsrIndex:
     cuckoo_payload: Optional[jnp.ndarray] = None   # [F, 2^bits] off<<10|cnt
     cuckoo_bits: int = 0
     cuckoo_seeds: Tuple[int, int] = (0, 0)
+    # why the last build_cuckoo call fell back to the binary search
+    # (None = cuckoo built / never attempted); surfaced in run stats so a
+    # silent production perf regression is visible (PERF.md gap #5)
+    cuckoo_fallback_reason: Optional[str] = None
 
     def build_buckets(self) -> None:
         # size the radix directory so buckets average ~2 keys: the probe's
@@ -84,11 +88,13 @@ class CsrIndex:
         path in place) when the native builder is unavailable, a table is
         too big for the 22-bit offset field, or insertion fails.
         """
-        built = build_cuckoo_arrays(
+        built, reason = build_cuckoo_arrays(
             np.asarray(self.keys), np.asarray(self.offsets),
             np.asarray(self.num_keys), int(self.values.shape[1]))
         if built is None:
+            self.cuckoo_fallback_reason = reason
             return False
+        self.cuckoo_fallback_reason = None
         ck, payload, bits, seeds = built
         self.cuckoo_keys = jnp.asarray(ck)
         self.cuckoo_payload = jnp.asarray(payload)
@@ -129,16 +135,18 @@ def build_cuckoo_arrays(keys_np: np.ndarray, offs_np: np.ndarray,
                         nk: np.ndarray, v_cols: int):
     """Numpy cuckoo-table arrays for CsrIndex.build_cuckoo (and for the
     sharded mapper, which device_puts them with a table sharding instead
-    of staging them on one device).  Returns (keys [F, 2^bits] uint32,
-    payload [F, 2^bits] uint32, bits, (seed1, seed2)) or None."""
+    of staging them on one device).  Returns ((keys [F, 2^bits] uint32,
+    payload [F, 2^bits] uint32, bits, (seed1, seed2)), None) or
+    (None, reason)."""
     from .. import native
     if native.cuckoo_build(np.zeros(0, np.uint32), 8, 0, 0) is None:
-        return None
+        return None, "native cuckoo builder unavailable"
     if v_cols >= (1 << 22):
-        return None
+        return None, (f"value array width {v_cols} exceeds the 22-bit "
+                      "payload offset field")
     max_keys = int(nk.max()) if len(nk) else 0
     if max_keys == 0:
-        return None
+        return None, "empty index"
     f = keys_np.shape[0]
     base_bits = max(10, int(np.ceil(np.log2(max(2 * max_keys, 2)))))
     for attempt in range(4):
@@ -151,7 +159,7 @@ def build_cuckoo_arrays(keys_np: np.ndarray, offs_np: np.ndarray,
         for t in range(f):
             kt = keys_np[t, :nk[t]]
             if (kt == SENTINEL).any():   # SENTINEL doubles as "empty"
-                return None
+                return None, "a key equals the SENTINEL/empty marker"
             slots = native.cuckoo_build(kt, bits, seed1, seed2)
             if slots is None:
                 ok = False
@@ -162,8 +170,8 @@ def build_cuckoo_arrays(keys_np: np.ndarray, offs_np: np.ndarray,
             payload[t, slots] = ((off0.astype(np.uint32) << 10)
                                  | np.minimum(cnt, 1023).astype(np.uint32))
         if ok:
-            return ck, payload, bits, (seed1, seed2)
-    return None
+            return (ck, payload, bits, (seed1, seed2)), None
+    return None, "cuckoo insertion failed after 4 seed attempts"
 
 
 def build_csr_index(signatures: np.ndarray, valid: np.ndarray,
@@ -509,18 +517,27 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
     return cand.transpose(1, 0, 2), counts.T
 
 
+def vote_uses_pallas(f: int, n: int, c: int) -> bool:
+    """True when the fused Pallas vote kernel handles this [F, N, C] probe
+    shape on the current backend.  Shared by vote_candidates_fnc_auto and
+    the engines' run stats (an XLA fallback on TPU is a silent ~17x vote
+    slowdown — surfaced as vote_kernel_fallback, PERF.md gap #3).
+
+    Kernel stage temporaries round-trip VMEM scratch, so the footprint is a
+    few [m, 128] buffers; m=2048 (the CLI-default probe_cap 64 x 32 tables)
+    measured fine, 17x the XLA merge tree there."""
+    f2c = (1 << max(f - 1, 0).bit_length()) * c
+    return (jax.default_backend() == "tpu" and n % 128 == 0 and c > 0
+            and c & (c - 1) == 0 and f2c <= 2048)
+
+
 def vote_candidates_fnc_auto(cand_fnc: jnp.ndarray, min_table_hits: int,
                              out_cap: int):
     """vote_candidates over [F, N, C] probe output: fused Pallas kernel on
     TPU (ops/vote_pallas.py, ~5x the XLA merge tree), bit-identical XLA
     fallback elsewhere / at shapes the kernel does not take."""
     f, n, c = cand_fnc.shape
-    f2c = (1 << max(f - 1, 0).bit_length()) * c
-    # kernel stage temporaries round-trip VMEM scratch, so the footprint is
-    # a few [m, 128] buffers; m=2048 (the CLI-default probe_cap 64 x 32
-    # tables) measured fine, 17x the XLA merge tree there
-    if (jax.default_backend() == "tpu" and n % 128 == 0 and c > 0
-            and c & (c - 1) == 0 and f2c <= 2048):
+    if vote_uses_pallas(f, n, c):
         from ..ops import vote_pallas
         return vote_pallas.vote_candidates_fnc(
             cand_fnc, min_table_hits, out_cap)

@@ -45,6 +45,112 @@ def revcomp_ascii(seq_bytes: np.ndarray) -> np.ndarray:
 
 
 @dataclasses.dataclass
+class FaiEntry:
+    """One samtools-style .fai line (reference FastaIndex::Entry,
+    include/genome.hpp:18-23: lineLength, lineLengthWithNewline, length,
+    byteOffset)."""
+    name: str
+    length: int        # bases in the sequence
+    byte_offset: int   # file offset of the first sequence byte
+    line_bases: int    # bases per line
+    line_bytes: int    # bytes per line incl. newline
+
+
+class FastaIndex:
+    """samtools .fai index: sequence lengths + byte offsets.
+
+    Reference: include/genome.hpp:16-81 (FastaIndex).  Beyond the
+    reference's parser this can also BUILD the index from a FASTA and
+    seek-load single chromosomes (region planning wants lengths without
+    reading sequence data; plain files only — .gz is not seekable)."""
+
+    def __init__(self, entries: List[FaiEntry]):
+        self.entries = entries
+        self._by_name = {e.name: i for i, e in enumerate(entries)}
+
+    @classmethod
+    def from_file(cls, path: str) -> "FastaIndex":
+        entries = []
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                tok = line.rstrip("\n").split("\t")
+                assert len(tok) == 5, f"malformed .fai line: {line!r}"
+                entries.append(FaiEntry(
+                    name=tok[0], length=int(tok[1]), byte_offset=int(tok[2]),
+                    line_bases=int(tok[3]), line_bytes=int(tok[4])))
+        return cls(entries)
+
+    @classmethod
+    def build(cls, fasta_path: str) -> "FastaIndex":
+        """Scan a plain (non-gz) FASTA once, recording lengths/offsets;
+        .fai convention keys entries by the first header word."""
+        entries = []
+        name = None
+        length = 0
+        offset = 0
+        line_bases = 0
+        line_bytes = 0
+        with open(fasta_path, "rb") as f:
+            pos = 0
+            for raw in f:
+                n = len(raw)
+                line = raw.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    if name is not None:
+                        entries.append(FaiEntry(name, length, offset,
+                                                line_bases, line_bytes))
+                    name = line[1:].split()[0].decode()
+                    length = 0
+                    offset = pos + n
+                    line_bases = 0
+                    line_bytes = 0
+                elif line:
+                    if line_bases == 0:
+                        line_bases, line_bytes = len(line), n
+                    length += len(line)
+                pos += n
+        if name is not None:
+            entries.append(FaiEntry(name, length, offset,
+                                    line_bases, line_bytes))
+        return cls(entries)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            for e in self.entries:
+                f.write(f"{e.name}\t{e.length}\t{e.byte_offset}"
+                        f"\t{e.line_bases}\t{e.line_bytes}\n")
+
+    # reference accessors (genome.hpp:61-76)
+    def get_length(self, name_or_index) -> int:
+        if isinstance(name_or_index, str):
+            name_or_index = self.get_name_index(name_or_index)
+        return self.entries[name_or_index].length
+
+    def get_name_index(self, name: str) -> int:
+        return self._by_name[name]
+
+    @property
+    def names(self) -> List[str]:
+        return [e.name for e in self.entries]
+
+    def load_sequence(self, fasta_path: str, name_or_index) -> str:
+        """Seek-load one chromosome's sequence via its byte offset."""
+        if isinstance(name_or_index, str):
+            name_or_index = self.get_name_index(name_or_index)
+        e = self.entries[name_or_index]
+        full_lines = e.length // e.line_bases if e.line_bases else 0
+        tail = e.length - full_lines * e.line_bases
+        nbytes = full_lines * e.line_bytes + (
+            tail + (e.line_bytes - e.line_bases) if tail else 0)
+        with open(fasta_path, "rb") as f:
+            f.seek(e.byte_offset)
+            raw = f.read(nbytes)
+        return b"".join(raw.split()).decode("ascii")
+
+
+@dataclasses.dataclass
 class WindowBatch:
     """One batch of same-chromosome windows (reference BatchOfWindows)."""
     chromosome_id: int
@@ -72,7 +178,21 @@ class Genome:
             header = rec.name if not rec.comment else f"{rec.name} {rec.comment}"
             names.append(header)
             seqs.append(rec.sequence)
-        return cls(names, seqs)
+        g = cls(names, seqs)
+        # a sibling samtools index cross-checks the parse (FastaIndex,
+        # genome.hpp:16-81; keyed by the first header word)
+        import os
+        fai = path + ".fai"
+        if os.path.exists(fai) and not path.endswith(".gz"):
+            idx = FastaIndex.from_file(fai)
+            assert len(idx.entries) == len(names), (
+                f"{fai}: {len(idx.entries)} entries vs "
+                f"{len(names)} FASTA sequences")
+            for name, seq, e in zip(names, seqs, idx.entries):
+                assert name.split()[0] == e.name and len(seq) == e.length, (
+                    f"{fai}: entry {e.name}/{e.length} does not match "
+                    f"FASTA sequence {name.split()[0]}/{len(seq)}")
+        return g
 
     @property
     def num_chromosomes(self) -> int:

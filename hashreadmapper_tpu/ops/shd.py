@@ -32,13 +32,16 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Orientation codes (reference: include/alignmentorientation.hpp:4)
 FORWARD = 1
 REVERSE_COMPLEMENT = 2
 NONE = 3
 
-_BIG = jnp.int32(0x3FFFFFFF)
+_BIG = np.int32(0x3FFFFFFF)  # np, not jnp: a module-level jnp
+# constant initializes the device backend at import time, wedging the
+# platform choice (dryrun_multichip must pick CPU before first init)
 
 
 class ExtendedWindows(NamedTuple):

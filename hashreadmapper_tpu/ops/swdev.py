@@ -52,7 +52,9 @@ MISMATCH = 2
 BIAS = MISMATCH     # byte-mode bias = -min(score_matrix)
 SAT = 255
 
-_BIG = jnp.int32(0x3FFFFFFF)
+_BIG = np.int32(0x3FFFFFFF)  # np, not jnp: a module-level jnp
+# constant initializes the device backend at import time, wedging the
+# platform choice (dryrun_multichip must pick CPU before first init)
 
 
 def _pass_batched(read_at, pre_mask, pos, seg_len, ref_t, ref_len,

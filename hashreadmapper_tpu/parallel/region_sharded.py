@@ -135,9 +135,10 @@ class RegionShardedMapper:
     axis is parallel/multihost.py::merge_region_results_across_hosts)."""
 
     def __init__(self, genome: Genome, opts: ProgramOptions, n_regions: int,
-                 devices=None, partition: str = "auto"):
+                 devices=None, partition: str = "auto", mesh=None):
         self.opts = opts
         self.genome = genome
+        self.mesh = mesh
         self.regions = plan_regions(genome, opts, n_regions, partition)
         self.n_regions = len(self.regions)
         devs = list(jax.devices()) if devices is None else list(devices)
@@ -156,13 +157,27 @@ class RegionShardedMapper:
         # read pool (12-region GRCh38 would exceed a v5e's 16 GB), so those
         # configurations keep the binary-search probe (~6% slower at 250
         # Mbp)
-        regions_per_dev = -(-self.n_regions // len(devs))
-        direct_probe = regions_per_dev <= 2
-        for r, segs in enumerate(self.regions):
-            with jax.default_device(devs[r % len(devs)]):
-                self.mappers.append(CoarseMapper(
-                    genome, opts, segments=segs,
+        if mesh is not None:
+            # region x mesh composition: every region's tables shard over
+            # the SAME (data x table) mesh (so a pod can hold GRCh38:
+            # regions bound the staged-base/int32 limits, the table axis
+            # bounds per-device index HBM).  Per-device burden is
+            # regions / table-axis index shards.
+            from .sharded import ShardedCoarseMapper
+            regions_per_dev = -(-self.n_regions // mesh.shape["table"])
+            direct_probe = regions_per_dev <= 2
+            for segs in self.regions:
+                self.mappers.append(ShardedCoarseMapper(
+                    genome, opts, mesh, segments=segs,
                     build_direct_probe=direct_probe))
+        else:
+            regions_per_dev = -(-self.n_regions // len(devs))
+            direct_probe = regions_per_dev <= 2
+            for r, segs in enumerate(self.regions):
+                with jax.default_device(devs[r % len(devs)]):
+                    self.mappers.append(CoarseMapper(
+                        genome, opts, segments=segs,
+                        build_direct_probe=direct_probe))
 
     def map_reads(self, read_bases: np.ndarray,
                   read_lengths: np.ndarray) -> CoarseResults:
@@ -220,4 +235,12 @@ class RegionShardedMapper:
             out.global_window_id[better] = (
                 gwin_global[better] & 0xFFFFFFFF).astype(np.uint32)
         out.global_window_id64 = out_gwin64
+        # silent-fallback surfacing (engine._fallback_stats): direct probe
+        # counts only when EVERY region has it; any region's vote fallback
+        # flags the run
+        fbs = [m._fallback_stats() for m in self.mappers]
+        out.stats["cuckoo_direct_probe"] = min(
+            f["cuckoo_direct_probe"] for f in fbs)
+        out.stats["vote_kernel_fallback"] = max(
+            f["vote_kernel_fallback"] for f in fbs)
         return out

@@ -13,14 +13,17 @@ TPU-native re-expression of the reference's multi-GPU layer:
     candidates are complete after the table all_gather.
 
 The genome and window geometry are replicated (the per-host replication
-fast path, like SingleGpuMinhasher::makeCopy, singlegpuminhasher.cuh:289);
-genome-region sharding over a third axis is the planned path for
-whole-GRCh38 indexes that exceed one device's HBM.
+fast path, like SingleGpuMinhasher::makeCopy, singlegpuminhasher.cuh:289).
+For genomes whose index exceeds the mesh's aggregate HBM (or >2 Gbp), this
+composes with genome-region sharding: RegionShardedMapper(mesh=...) builds
+one ShardedCoarseMapper per region (each region's tables sharded over the
+same mesh) and merges per-read bests across regions — the production path
+the reference selects automatically with >1 GPU
+(src/gpu/gpuminhasherconstruction.cu:297-309).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -32,7 +35,7 @@ from ..config import ProgramOptions
 from ..index import minhash_index as mi
 from ..io.genome import Genome
 from ..ops import minhash, shd
-from ..pipeline.engine import CoarseMapper
+from ..pipeline.engine import CoarseMapper, CoarseResults
 
 SENTINEL = np.uint32(0xFFFFFFFF)
 
@@ -59,9 +62,16 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 class ShardedCoarseMapper:
-    """Table-sharded, data-parallel coarse mapper over a 2D mesh."""
+    """Table-sharded, data-parallel coarse mapper over a 2D mesh.
 
-    def __init__(self, genome: Genome, opts: ProgramOptions, mesh: Mesh):
+    Drop-in with CoarseMapper for the production driver: map_reads returns
+    CoarseResults (orientation/position/bs_strand/stats), stages the read
+    pool on device once per map_reads call (batches slice it on device),
+    and fetches one packed result array at the end.
+    """
+
+    def __init__(self, genome: Genome, opts: ProgramOptions, mesh: Mesh,
+                 segments=None, build_direct_probe: bool = True):
         self.mesh = mesh
         self.opts = opts
         n_table = mesh.shape["table"]
@@ -74,8 +84,12 @@ class ShardedCoarseMapper:
         # device ever stages the full table set (the reference's
         # MultiGpuMinhasher also inserts into each GPU's own tables,
         # multigpuminhasher.cuh:391-483; contrast the reference's staging-
-        # free incremental build, gpuminhasherconstruction.cu:123-242)
-        self.base = CoarseMapper(genome, opts, build_index=False)
+        # free incremental build, gpuminhasherconstruction.cu:123-242);
+        # segments (region composition) pass straight through to the
+        # geometry so chromosome_id reports segment indices and
+        # global_window_id local ordinals, exactly like CoarseMapper.
+        self.base = CoarseMapper(genome, opts, build_index=False,
+                                 segments=segments)
         table_spec = NamedSharding(mesh, P("table"))
         repl = NamedSharding(mesh, P())
         self.keys, self.offsets, self.values, self.num_keys = \
@@ -85,11 +99,14 @@ class ShardedCoarseMapper:
         self._use_cuckoo = False
         self.cuckoo_bits = 0
         self.cuckoo_seeds = (0, 0)
+        self.cuckoo_fallback_reason: Optional[str] = None
         built = None
-        if opts.probe_cap < 1023:
-            built = mi.build_cuckoo_arrays(
+        if opts.probe_cap < 1023 and build_direct_probe:
+            built, reason = mi.build_cuckoo_arrays(
                 np.asarray(self.keys), np.asarray(self.offsets),
                 np.asarray(self.num_keys), int(self.values.shape[1]))
+            if built is None:
+                self.cuckoo_fallback_reason = reason
         if built is not None:
             ck, payload, bits, seeds = built
             self.cuckoo_keys = jax.device_put(ck, table_spec)
@@ -115,7 +132,23 @@ class ShardedCoarseMapper:
             jnp.full((f, 1), jnp.uint32(0xFFFFFFFF)), table_spec)
         self.dropped_num = jax.device_put(
             jnp.zeros((f,), dtype=jnp.int32), table_spec)
-        self._step = self._build_step()
+        self._drops_set = False
+        self._compile_steps()
+        self._warned_vote_fallback = False
+
+    # region-composition hooks (region_sharded.region_key_payload reads
+    # the segment geometry off the mapper)
+    @property
+    def segments(self):
+        return self.base.segments
+
+    @property
+    def seg_local_base(self):
+        return self.base.seg_local_base
+
+    @property
+    def table(self):
+        return self.base.table
 
     def _build_index_sharded(self, sig_batch: int = 4096):
         """Per-shard device CSR build: the window stream is hashed in
@@ -182,6 +215,10 @@ class ShardedCoarseMapper:
                     s.data.dtype.itemsize
         return out
 
+    def memory_bytes(self) -> int:
+        """Total index bytes across the mesh (driver reporting)."""
+        return sum(self.index_memory_per_device().values())
+
     def set_read_drops(self, read_sigs: np.ndarray,
                        read_valid: np.ndarray) -> None:
         assert not self.opts.three_n_seeding, (
@@ -192,7 +229,63 @@ class ShardedCoarseMapper:
         table_spec = NamedSharding(self.mesh, P("table"))
         self.dropped_keys = jax.device_put(jnp.asarray(dk), table_spec)
         self.dropped_num = jax.device_put(jnp.asarray(dn), table_spec)
-        self._step = self._build_step()  # dropped shapes may have changed
+        self._drops_set = True
+        self._compile_steps()  # dropped shapes may have changed
+
+    def ensure_read_drops(self, read_bases: np.ndarray,
+                          read_lengths: np.ndarray,
+                          precomputed_sigs: Optional[np.ndarray] = None
+                          ) -> None:
+        """Dropped-keys mask from the FULL read set (parity mode); mirrors
+        CoarseMapper.ensure_read_drops so the chunked/pipelined driver can
+        treat both mappers uniformly."""
+        opts = self.opts
+        if opts.three_n_seeding or self._drops_set:
+            return
+        n = read_bases.shape[0]
+        if precomputed_sigs is None:
+            hash_ids = jnp.asarray(self.base.hash_ids)
+            sig_list, val_list = [], []
+            for start in range(0, n, opts.batchsize):
+                stop = min(start + opts.batchsize, n)
+                s, v = minhash.minhash_signatures(
+                    jnp.asarray(read_bases[start:stop]),
+                    jnp.asarray(read_lengths[start:stop]),
+                    opts.kmer_length, hash_ids)
+                sig_list.append(np.asarray(s))
+                val_list.append(np.asarray(v))
+            precomputed_sigs = np.concatenate(sig_list)
+            pre_valid = np.concatenate(val_list)
+        else:
+            pre_valid = read_lengths >= opts.kmer_length
+        self.set_read_drops(precomputed_sigs, pre_valid)
+
+    def ensure_empty_drops(self) -> None:
+        """Region-composition hook; the table-sharded empty mask is already
+        in place from __init__."""
+
+    def _compile_steps(self):
+        mapped = self._build_step()
+        self._step = jax.jit(mapped)
+
+        def step_at(keys, offsets, values, num_keys, cuckoo_k, cuckoo_p,
+                    dropped_keys, dropped_num, genome_hi, genome_lo,
+                    win_pos, win_chrom, chrom_offset, chrom_len, hash_ids,
+                    pool_bases, pool_lens, pool_valid, i):
+            # the pool is [n_batches, bsz*D, L] sharded P(None, "data"):
+            # indexing axis 0 is shard-local, no collective
+            rb = jax.lax.dynamic_index_in_dim(pool_bases, i, 0,
+                                              keepdims=False)
+            rl = jax.lax.dynamic_index_in_dim(pool_lens, i, 0,
+                                              keepdims=False)
+            rv = jax.lax.dynamic_index_in_dim(pool_valid, i, 0,
+                                              keepdims=False)
+            return mapped(keys, offsets, values, num_keys, cuckoo_k,
+                          cuckoo_p, dropped_keys, dropped_num, genome_hi,
+                          genome_lo, win_pos, win_chrom, chrom_offset,
+                          chrom_len, hash_ids, rb, rl, rv)
+
+        self._step_at = jax.jit(step_at)
 
     def _build_step(self):
         opts = self.opts
@@ -283,38 +376,43 @@ class ShardedCoarseMapper:
 
             from ..pipeline.engine import coarse_pairs_best
             (out_ori32, out_ham, out_shift, out_chrom, out_pos, best_gwin,
-             has, _ori, _strand, pair_drops) = coarse_pairs_best(
+             has, _ori, out_strand, pair_drops) = coarse_pairs_best(
                 ids, read_bases, read_len, opts, lr, genome_hi, genome_lo,
                 win_pos, win_chrom, chrom_offset, chrom_len)
-            out_ori = out_ori32.astype(jnp.int8)
-            out_gwin = jnp.where(has, best_gwin.astype(jnp.uint32),
-                                 jnp.uint32(0xFFFFFFFF))
-            overflow = (jnp.sum(counts > opts.probe_cap)
-                        + jnp.sum(num_kept > kcap) + pair_drops)
-            # counts/num_kept/pair_drops are identical on every table shard
-            # (computed from gathered data): the psum-mean keeps the output
-            # replicated for shard_map's rep checking.  tail_drops is a
-            # pre-gather per-shard quantity: a true psum.
-            overflow = (jax.lax.psum(overflow, "table")
-                        // jax.lax.axis_size("table")
-                        + jax.lax.psum(tail_drops, "table"))
-            return (out_ori, out_ham, out_shift, out_chrom, out_pos,
-                    out_gwin, overflow)
+            out_gwin = jnp.where(has, best_gwin, -1)  # -1 == SENTINEL bits
+
+            # one packed [B, 7] result per shard — layout matches the
+            # single-device engine's packed output (engine.py:600-603)
+            packed = jnp.stack(
+                [out_ori32, out_ham, out_shift, out_chrom, out_pos,
+                 out_gwin, out_strand], axis=1)
+            # per-counter overflow: probe/vote/pair are identical on every
+            # table shard (computed from gathered data) -> table-mean; tail
+            # is a pre-gather per-shard count -> table-sum.  All differ per
+            # data shard -> data-sum, so the [4] output is mesh-replicated.
+            rep3 = jnp.stack([jnp.sum(counts > opts.probe_cap),
+                              jnp.sum(num_kept > kcap), pair_drops])
+            rep3 = jax.lax.psum(rep3, "table") // n_table
+            tail = jax.lax.psum(tail_drops, "table")
+            overflow = jax.lax.psum(
+                jnp.concatenate([rep3, tail[None]]), "data")
+            return packed, overflow
 
         data_spec = P("data")
         table_spec = P("table")
         repl = P()
-        mapped = _shard_map(
+        return _shard_map(
             step, mesh,
             in_specs=(table_spec, table_spec, table_spec, table_spec,
                       table_spec, table_spec, table_spec, table_spec,
                       repl, repl, repl, repl, repl, repl, repl,
                       data_spec, data_spec, data_spec),
-            out_specs=(data_spec,) * 6 + (repl,))
-        return jax.jit(mapped)
+            out_specs=(data_spec, repl))
 
     def map_batch(self, read_bases: jnp.ndarray, read_len: jnp.ndarray,
                   read_valid: jnp.ndarray):
+        """One mesh batch ([batchsize * data] rows) -> (packed [B, 7] int32,
+        overflow [4] int32) device arrays."""
         return self._step(
             self.keys, self.offsets, self.values, self.num_keys,
             self.cuckoo_keys, self.cuckoo_payload,
@@ -323,9 +421,12 @@ class ShardedCoarseMapper:
             self.chrom_offset, self.chrom_len, self.hash_ids,
             read_bases, read_len, read_valid)
 
-    def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray):
-        """Host driver over data-parallel batches (batch = batchsize *
-        data-axis size rows)."""
+    def stage_reads_device(self, read_bases: np.ndarray,
+                           read_lengths: np.ndarray):
+        """Upload the read set once as a [n_batches, bsz*D, L] pool sharded
+        over the data axis; per-batch slicing happens on device (no
+        per-batch H2D — the reference's device-resident read storage,
+        multigpureadstorage.cuh)."""
         opts = self.opts
         n, lr = read_bases.shape
         if lr < opts.max_read_length:
@@ -333,34 +434,99 @@ class ShardedCoarseMapper:
                 read_bases, ((0, 0), (0, opts.max_read_length - lr)))
         d = self.mesh.shape["data"]
         bsz = opts.batchsize * d
-        data_sh = NamedSharding(self.mesh, P("data"))
+        n_batches = max(1, -(-n // bsz))
+        n_pad = n_batches * bsz
+        bases = np.pad(read_bases.astype(np.int8), ((0, n_pad - n), (0, 0)))
+        lens = np.pad(read_lengths.astype(np.int32), (0, n_pad - n))
+        valid = np.arange(n_pad) < n
+        pool_sh = NamedSharding(self.mesh, P(None, "data"))
+        lq = bases.shape[1]
+        pool_b = jax.device_put(bases.reshape(n_batches, bsz, lq), pool_sh)
+        pool_l = jax.device_put(lens.reshape(n_batches, bsz), pool_sh)
+        pool_v = jax.device_put(valid.reshape(n_batches, bsz), pool_sh)
+        return pool_b, pool_l, pool_v, n_pad
 
-        out_ori = np.full(n, shd.NONE, dtype=np.int8)
-        out_ham = np.zeros(n, dtype=np.int32)
-        out_shift = np.zeros(n, dtype=np.int32)
-        out_chrom = np.zeros(n, dtype=np.int32)
-        out_pos = np.zeros(n, dtype=np.int32)
-        out_gwin = np.full(n, SENTINEL, dtype=np.uint32)
-        overflow = 0
-        for start in range(0, n, bsz):
-            stop = min(start + bsz, n)
-            nb = stop - start
-            chunk = read_bases[start:stop]
-            lens = read_lengths[start:stop]
-            valid = np.ones(nb, dtype=bool)
-            if nb < bsz:
-                chunk = np.pad(chunk, ((0, bsz - nb), (0, 0)))
-                lens = np.pad(lens, (0, bsz - nb))
-                valid = np.pad(valid, (0, bsz - nb))
-            args = [jax.device_put(jnp.asarray(x), data_sh)
-                    for x in (chunk, lens, valid)]
-            ori, ham, shf, chrom, pos, gwin, ovf = self.map_batch(*args)
-            out_ori[start:stop] = np.asarray(ori)[:nb]
-            out_ham[start:stop] = np.asarray(ham)[:nb]
-            out_shift[start:stop] = np.asarray(shf)[:nb]
-            out_chrom[start:stop] = np.asarray(chrom)[:nb]
-            out_pos[start:stop] = np.asarray(pos)[:nb]
-            out_gwin[start:stop] = np.asarray(gwin)[:nb]
-            overflow += int(ovf)
-        return (out_ori, out_ham, out_shift, out_chrom, out_pos, out_gwin,
-                overflow)
+    def _map_reads_device(self, pool_b, pool_l, pool_v, n_pad: int,
+                          bsz_unused: int, collect_candidates: bool = False):
+        """Dispatch every batch asynchronously; results stay ON DEVICE as
+        one packed [n_pad, 7] array + [4] overflow (same contract as
+        CoarseMapper._map_reads_device, so RegionShardedMapper can drive
+        either mapper)."""
+        assert not collect_candidates, (
+            "candidate collection is a single-device instrumentation mode")
+        packed_parts, ovf_parts = [], []
+        for i in range(pool_b.shape[0]):
+            packed, ovf = self._step_at(
+                self.keys, self.offsets, self.values, self.num_keys,
+                self.cuckoo_keys, self.cuckoo_payload,
+                self.dropped_keys, self.dropped_num,
+                self.genome_hi, self.genome_lo, self.win_pos,
+                self.win_chrom, self.chrom_offset, self.chrom_len,
+                self.hash_ids, pool_b, pool_l, pool_v, jnp.int32(i))
+            packed_parts.append(packed)
+            ovf_parts.append(ovf)
+        packed_dev = (jnp.concatenate(packed_parts)
+                      if len(packed_parts) > 1 else packed_parts[0])
+        ovf_dev = jnp.stack(ovf_parts).sum(axis=0)
+        return packed_dev, ovf_dev, []
+
+    def _fallback_stats(self) -> dict:
+        import sys
+        und = 2 if self.opts.undirectional else 1
+        pallas_ok = mi.vote_uses_pallas(
+            self.n_tables * und, self.opts.batchsize, self.opts.probe_cap)
+        stats = {"cuckoo_direct_probe": int(self._use_cuckoo),
+                 "vote_kernel_fallback": int(not pallas_ok)}
+        if not self._warned_vote_fallback:
+            self._warned_vote_fallback = True
+            if self.cuckoo_fallback_reason:
+                print(f"note: cuckoo direct probe disabled "
+                      f"({self.cuckoo_fallback_reason}); binary-search "
+                      f"probe in use", file=sys.stderr)
+            if not pallas_ok and jax.default_backend() == "tpu":
+                print("note: vote merge width exceeds the Pallas kernel "
+                      "cap; XLA fallback in use", file=sys.stderr)
+        return stats
+
+    def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray,
+                  emulate_read_key_drop: bool = True) -> CoarseResults:
+        """Map all reads over the mesh; returns CoarseResults exactly like
+        CoarseMapper.map_reads (bs_strand + per-counter stats included), so
+        STEP 2 rescoring — including undirectional PBAT — works unchanged."""
+        opts = self.opts
+        n = len(read_lengths)
+        if n == 0:
+            return CoarseResults(
+                orientation=np.full(0, shd.NONE, dtype=np.int8),
+                hamming=np.zeros(0, dtype=np.int32),
+                shift=np.zeros(0, dtype=np.int32),
+                chromosome_id=np.zeros(0, dtype=np.int32),
+                position=np.zeros(0, dtype=np.int32),
+                global_window_id=np.zeros(0, dtype=np.uint32),
+                stats={"probe_overflow": 0, "vote_overflow": 0,
+                       "pair_budget_overflow": 0, "probe_tail_overflow": 0,
+                       **self._fallback_stats()},
+                bs_strand=np.zeros(0, dtype=np.int8))
+        if opts.three_n_seeding:
+            emulate_read_key_drop = False
+        if emulate_read_key_drop:
+            self.ensure_read_drops(read_bases, read_lengths)
+        pool_b, pool_l, pool_v, n_pad = self.stage_reads_device(
+            read_bases, read_lengths)
+        packed_dev, ovf_dev, _ = self._map_reads_device(
+            pool_b, pool_l, pool_v, n_pad, opts.batchsize)
+        packed = np.asarray(packed_dev)[:n]
+        ovf = np.asarray(ovf_dev)
+        return CoarseResults(
+            orientation=packed[:, 0].astype(np.int8),
+            hamming=packed[:, 1].astype(np.int32),
+            shift=packed[:, 2].astype(np.int32),
+            chromosome_id=packed[:, 3].astype(np.int32),
+            position=packed[:, 4].astype(np.int32),
+            global_window_id=packed[:, 5].astype(np.uint32),
+            stats={"probe_overflow": int(ovf[0]),
+                   "vote_overflow": int(ovf[1]),
+                   "pair_budget_overflow": int(ovf[2]),
+                   "probe_tail_overflow": int(ovf[3]),
+                   **self._fallback_stats()},
+            bs_strand=packed[:, 6].astype(np.int8))

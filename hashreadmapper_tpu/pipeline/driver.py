@@ -34,28 +34,37 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..utils.progress import ProgressReporter
+
     n = reads.num_reads
     chunk = opts.step2_pipeline_chunk
     if hasattr(mapper, "ensure_read_drops"):
         # whole-dataset parity rule; must precede per-chunk mapping
         mapper.ensure_read_drops(bases, reads.lengths)
     res_parts = []
+    # the reference's --showProgress counter (every 100k windows,
+    # main_gpu.cu:1114-1119); here progress is reads through STEP 1+2
+    progress = ProgressReporter(n, label="reads mapped+aligned",
+                                enabled=opts.show_progress)
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = []
         for c0 in range(0, n, chunk):
             c1 = min(c0 + chunk, n)
             res = mapper.map_reads(bases[c0:c1], reads.lengths[c0:c1])
             res_parts.append(res)
-            futs.append((c0, ex.submit(
+            futs.append((c0, c1, ex.submit(
                 mapping.run_cssw, genome, genome_rc, res.orientation,
                 res.position, res.chromosome_id, reads.slice_rows(c0, c1),
                 opts, res.bs_strand)))
         mappingout = []
-        for c0, f in futs:
+        for c0, c1, f in futs:
             part = f.result()
             for aa in part:
                 aa.read_id += c0
             mappingout.extend(part)
+            progress.add(c1 - c0)
+    if opts.show_progress:
+        progress.finish()
 
     stats = {}
     for r in res_parts:
@@ -111,17 +120,44 @@ def run_pipeline(opts: ProgramOptions,
                               for c in range(genome.num_chromosomes))
             from ..parallel.region_sharded import (
                 RegionShardedMapper, SINGLE_MAPPER_BASE_CAP)
+            mesh = None
+            if opts.mesh_data is not None or opts.mesh_table is not None:
+                # production (data x table) mesh mode — the reference
+                # selects its multi-GPU minhasher automatically with >1
+                # GPU (gpuminhasherconstruction.cu:297-309); here the mesh
+                # shape is explicit (--mesh D T)
+                import jax
+                from ..parallel.sharded import make_mesh
+                n_data = opts.mesh_data or 1
+                n_table = opts.mesh_table or 1
+                assert len(jax.devices()) >= n_data * n_table, (
+                    f"--mesh {n_data} {n_table} needs {n_data * n_table} "
+                    f"devices, have {len(jax.devices())}")
+                assert not (opts.save_hashtables_to
+                            or opts.load_hashtables_from), (
+                    "mesh-sharded tables do not serialize (the reference's "
+                    "warpcore tables cannot either, "
+                    "singlegpuminhasher.cuh:1052-1053)")
+                mesh = make_mesh(n_data, n_table)
             if opts.num_regions > 1 or total_bases >= SINGLE_MAPPER_BASE_CAP:
                 import jax
                 n_regions = opts.num_regions or max(
-                    len(jax.devices()),
+                    1 if mesh is not None else len(jax.devices()),
                     -(-total_bases // SINGLE_MAPPER_BASE_CAP))
-                mapper = RegionShardedMapper(genome, opts, n_regions)
-                idx_bytes = sum(m.index.memory_bytes()
-                                for m in mapper.mappers)
+                mapper = RegionShardedMapper(genome, opts, n_regions,
+                                             mesh=mesh)
+                idx_bytes = sum(m.memory_bytes() for m in mapper.mappers)
                 n_windows = sum(m.table.num_windows for m in mapper.mappers)
                 print(f"window index: {idx_bytes} bytes, {n_windows} windows "
-                      f"in {mapper.n_regions} regions")
+                      f"in {mapper.n_regions} regions"
+                      + (f" over a {mesh.shape['data']}x"
+                         f"{mesh.shape['table']} mesh" if mesh else ""))
+            elif mesh is not None:
+                from ..parallel.sharded import ShardedCoarseMapper
+                mapper = ShardedCoarseMapper(genome, opts, mesh)
+                print(f"window index: {mapper.memory_bytes()} bytes, "
+                      f"{mapper.table.num_windows} windows sharded over a "
+                      f"{mesh.shape['data']}x{mesh.shape['table']} mesh")
             else:
                 mapper = CoarseMapper(
                     genome, opts, load_index_from=opts.load_hashtables_from)

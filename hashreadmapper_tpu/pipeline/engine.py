@@ -32,7 +32,9 @@ from ..io.genome import Genome
 from ..ops import minhash, shd
 
 SENTINEL = np.uint32(0xFFFFFFFF)
-_BIG = jnp.int32(0x3FFFFFFF)
+_BIG = np.int32(0x3FFFFFFF)  # np, not jnp: a module-level jnp
+# constant initializes the device backend at import time, wedging the
+# platform choice (dryrun_multichip must pick CPU before first init)
 
 
 @dataclasses.dataclass
@@ -412,6 +414,9 @@ class CoarseMapper:
         self.table.win_chrom = jnp.asarray(win_chrom)
         self.table.num_windows = w
 
+        from ..utils.progress import ProgressReporter
+        progress = ProgressReporter(w, label="hash windows",
+                                    enabled=opts.show_progress)
         sig_parts = []
         valid_parts = []
         for gstart, lens, n in self.iter_window_superbatch_starts(sig_batch):
@@ -434,6 +439,9 @@ class CoarseMapper:
                     self._hash_ids_dev, sig_batch)
             sig_parts.append(s[:n])
             valid_parts.append(v[:n])
+            progress.add(n)
+        if opts.show_progress:
+            progress.finish()
 
         sigs = jnp.concatenate(sig_parts) if len(sig_parts) > 1 else sig_parts[0]
         valid = (jnp.concatenate(valid_parts) if len(valid_parts) > 1
@@ -659,6 +667,40 @@ class CoarseMapper:
         all_valid = jnp.asarray(np.arange(n_pad) < n)
         return all_bases, all_lens, all_valid, n_pad
 
+    def memory_bytes(self) -> int:
+        """Index bytes (uniform driver-reporting hook across mapper kinds)."""
+        return self.index.memory_bytes() if self.index is not None else 0
+
+    def _fallback_stats(self) -> Dict[str, int]:
+        """Silent-fallback surfacing: the cuckoo direct probe and the
+        Pallas vote kernel both degrade to slower bit-identical paths
+        (binary search / XLA merge tree) without changing results — a
+        production perf regression would otherwise be invisible.  Keys are
+        merged into every CoarseResults.stats; the reasons print once."""
+        import sys
+        und = 2 if self.opts.undirectional else 1
+        f_eff = int(self.index.keys.shape[0]) * und \
+            if self.index is not None else 0
+        pallas_ok = mi.vote_uses_pallas(f_eff, self.opts.batchsize,
+                                        self.opts.probe_cap)
+        stats = {
+            "cuckoo_direct_probe": int(
+                self.index is not None
+                and self.index.cuckoo_keys is not None),
+            "vote_kernel_fallback": int(not pallas_ok),
+        }
+        if not getattr(self, "_warned_fallbacks", False):
+            self._warned_fallbacks = True
+            reason = (self.index.cuckoo_fallback_reason
+                      if self.index is not None else None)
+            if reason:
+                print(f"note: cuckoo direct probe disabled ({reason}); "
+                      f"binary-search probe in use", file=sys.stderr)
+            if not pallas_ok and jax.default_backend() == "tpu":
+                print("note: vote merge width exceeds the Pallas kernel "
+                      "cap; XLA fallback in use", file=sys.stderr)
+        return stats
+
     def resident_bytes(self) -> int:
         """Device bytes held by the index + staged genome."""
         t = self.table
@@ -750,7 +792,8 @@ class CoarseMapper:
                 position=np.zeros(0, dtype=np.int32),
                 global_window_id=np.zeros(0, dtype=np.uint32),
                 stats={"probe_overflow": 0, "vote_overflow": 0,
-                       "pair_budget_overflow": 0, "probe_tail_overflow": 0},
+                       "pair_budget_overflow": 0, "probe_tail_overflow": 0,
+                       **self._fallback_stats()},
                 bs_strand=np.zeros(0, dtype=np.int8))
         assert lr <= opts.max_read_length, (
             f"reads longer than max_read_length ({lr} > {opts.max_read_length})")
@@ -829,5 +872,6 @@ class CoarseMapper:
             stats={"probe_overflow": int(all_overflow[0]),
                    "vote_overflow": int(all_overflow[1]),
                    "pair_budget_overflow": int(all_overflow[2]),
-                   "probe_tail_overflow": int(all_overflow[3])},
+                   "probe_tail_overflow": int(all_overflow[3]),
+                   **self._fallback_stats()},
             bs_strand=all_packed[:, 6].astype(np.int8))

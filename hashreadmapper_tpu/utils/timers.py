@@ -17,9 +17,15 @@ class PhaseTimers:
 
     @contextlib.contextmanager
     def phase(self, label: str):
+        # every driver phase doubles as a profiler scope (the reference
+        # wraps each stage in an nvtx range alongside its CpuTimer,
+        # main_gpu.cu:484-775 + timers.cuh) — visible in xprof traces
+        # captured via utils.tracing.trace_session
+        from .tracing import scoped_range
         start = time.perf_counter()
         try:
-            yield
+            with scoped_range(label):
+                yield
         finally:
             self._totals.append((label, time.perf_counter() - start))
 

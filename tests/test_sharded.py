@@ -52,16 +52,20 @@ def test_sharded_matches_single_device(shape):
 
     mesh = make_mesh(*shape)
     sharded = ShardedCoarseMapper(genome, opts, mesh)
-    ori, ham, shift, chrom_id, pos, gwin, overflow = sharded.map_reads(
-        bases.copy(), lens.copy())
+    got = sharded.map_reads(bases.copy(), lens.copy())
 
-    np.testing.assert_array_equal(ori, want.orientation)
+    np.testing.assert_array_equal(got.orientation, want.orientation)
     mapped = want.orientation != 3
-    np.testing.assert_array_equal(ham[mapped], want.hamming[mapped])
-    np.testing.assert_array_equal(shift[mapped], want.shift[mapped])
-    np.testing.assert_array_equal(pos[mapped], want.position[mapped])
-    np.testing.assert_array_equal(gwin[mapped],
+    np.testing.assert_array_equal(got.hamming[mapped], want.hamming[mapped])
+    np.testing.assert_array_equal(got.shift[mapped], want.shift[mapped])
+    np.testing.assert_array_equal(got.position[mapped],
+                                  want.position[mapped])
+    np.testing.assert_array_equal(got.global_window_id[mapped],
                                   want.global_window_id[mapped])
+    np.testing.assert_array_equal(got.bs_strand, want.bs_strand)
+    for k in ("probe_overflow", "vote_overflow", "pair_budget_overflow",
+              "probe_tail_overflow"):
+        assert got.stats[k] == want.stats[k], k
 
 
 def _bs_data(seed=17, n_reads=48, chrom_len=2000, maxlen=32, conv=0.9):
@@ -107,15 +111,15 @@ def test_sharded_three_n_matches_single_device(shape):
 
     mesh = make_mesh(*shape)
     sharded = ShardedCoarseMapper(genome, opts, mesh)
-    ori, ham, shift, chrom_id, pos, gwin, overflow = sharded.map_reads(
-        bases.copy(), lens.copy())
+    got = sharded.map_reads(bases.copy(), lens.copy())
 
-    np.testing.assert_array_equal(ori, want.orientation)
+    np.testing.assert_array_equal(got.orientation, want.orientation)
     mapped = want.orientation != 3
-    np.testing.assert_array_equal(ham[mapped], want.hamming[mapped])
-    np.testing.assert_array_equal(shift[mapped], want.shift[mapped])
-    np.testing.assert_array_equal(pos[mapped], want.position[mapped])
-    np.testing.assert_array_equal(gwin[mapped],
+    np.testing.assert_array_equal(got.hamming[mapped], want.hamming[mapped])
+    np.testing.assert_array_equal(got.shift[mapped], want.shift[mapped])
+    np.testing.assert_array_equal(got.position[mapped],
+                                  want.position[mapped])
+    np.testing.assert_array_equal(got.global_window_id[mapped],
                                   want.global_window_id[mapped])
 
 
@@ -147,8 +151,8 @@ def test_sharded_index_build_is_sharded():
     # single-device build (covered in depth above; quick spot check here)
     single = CoarseMapper(genome, opts)
     want = single.map_reads(bases.copy(), lens.copy())
-    ori, ham, *_ = sharded.map_reads(bases.copy(), lens.copy())
-    np.testing.assert_array_equal(ori, want.orientation)
+    got = sharded.map_reads(bases.copy(), lens.copy())
+    np.testing.assert_array_equal(got.orientation, want.orientation)
 
 
 def test_sharded_budgets_match_single_device():
@@ -169,11 +173,13 @@ def test_sharded_budgets_match_single_device():
     opts_b = ProgramOptions(**kw, shd_pairs_per_read_budget=4,
                             probe_tail_budget_per_read=4)
     sharded = ShardedCoarseMapper(genome, opts_b, make_mesh(2, 4))
-    ori, ham, shift, chrom_id, pos, gwin, overflow = sharded.map_reads(
-        bases.copy(), lens.copy())
-    np.testing.assert_array_equal(ori, want.orientation)
+    got = sharded.map_reads(bases.copy(), lens.copy())
+    np.testing.assert_array_equal(got.orientation, want.orientation)
     mapped = want.orientation != 3
-    np.testing.assert_array_equal(ham[mapped], want.hamming[mapped])
-    np.testing.assert_array_equal(pos[mapped], want.position[mapped])
-    np.testing.assert_array_equal(gwin[mapped],
+    np.testing.assert_array_equal(got.hamming[mapped], want.hamming[mapped])
+    np.testing.assert_array_equal(got.position[mapped],
+                                  want.position[mapped])
+    np.testing.assert_array_equal(got.global_window_id[mapped],
                                   want.global_window_id[mapped])
+    assert got.stats["pair_budget_overflow"] == 0
+    assert got.stats["probe_tail_overflow"] == 0

@@ -223,12 +223,15 @@ def test_undirectional_sharded_matches_single():
     want = CoarseMapper(genome, opts).map_reads(
         reads.copy(), lengths.copy())
     sharded = ShardedCoarseMapper(genome, opts, make_mesh(2, 4))
-    ori, ham, shift, chrom_id, pos, gwin, overflow = sharded.map_reads(
-        reads.copy(), lengths.copy())
-    np.testing.assert_array_equal(ori, want.orientation)
+    got = sharded.map_reads(reads.copy(), lengths.copy())
+    np.testing.assert_array_equal(got.orientation, want.orientation)
     mapped = want.orientation != 3
-    np.testing.assert_array_equal(ham[mapped], want.hamming[mapped])
-    np.testing.assert_array_equal(pos[mapped], want.position[mapped])
+    np.testing.assert_array_equal(got.hamming[mapped], want.hamming[mapped])
+    np.testing.assert_array_equal(got.position[mapped],
+                                  want.position[mapped])
+    # the mesh reports the PBAT strand space per read (STEP 2 needs it
+    # for the mirrored rescoring)
+    np.testing.assert_array_equal(got.bs_strand, want.bs_strand)
     # the mesh mapped the PBAT strands too
     assert mapped[kind >= 2].mean() > 0.8
 

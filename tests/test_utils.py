@@ -68,3 +68,45 @@ def test_process_read_slice():
     assert ranges[-1] == (78, 103)
     total = sum(b - a for a, b in ranges)
     assert total == 103
+
+
+# --- FastaIndex (.fai) ---
+
+def test_fasta_index_build_parse_seek(tmp_path):
+    from hashreadmapper_tpu.io.genome import FastaIndex, Genome
+    fa = tmp_path / "g.fa"
+    seq1 = "ACGTACGTACGTACGTAC"          # 18 bases over 7-col lines
+    seq2 = "GGGGCCCCAAAATTTTGGA" * 3     # 57 bases
+    fa.write_text(
+        ">chr1 some description\n" +
+        "\n".join(seq1[i:i + 7] for i in range(0, len(seq1), 7)) + "\n" +
+        ">chr2\n" +
+        "\n".join(seq2[i:i + 10] for i in range(0, len(seq2), 10)) + "\n")
+    idx = FastaIndex.build(str(fa))
+    assert idx.names == ["chr1", "chr2"]
+    # reference accessors (genome.hpp:61-76)
+    assert idx.get_length("chr1") == len(seq1)
+    assert idx.get_length(1) == len(seq2)
+    assert idx.get_name_index("chr2") == 1
+    # seek-load equals full parse
+    assert idx.load_sequence(str(fa), "chr1") == seq1
+    assert idx.load_sequence(str(fa), 1) == seq2
+    # round-trips through the samtools text format
+    idx.save(str(fa) + ".fai")
+    idx2 = FastaIndex.from_file(str(fa) + ".fai")
+    assert [vars(e) for e in idx2.entries] == [vars(e) for e in idx.entries]
+    # a genome load cross-checks against the sibling .fai
+    g = Genome.from_fasta(str(fa))
+    assert g.chromosome_length(0) == len(seq1)
+
+
+def test_fasta_index_mismatch_detected(tmp_path):
+    import pytest
+    from hashreadmapper_tpu.io.genome import FastaIndex, Genome
+    fa = tmp_path / "g.fa"
+    fa.write_text(">c1\nACGTACGT\n")
+    idx = FastaIndex.build(str(fa))
+    idx.entries[0].length = 999   # corrupt the index
+    idx.save(str(fa) + ".fai")
+    with pytest.raises(AssertionError):
+        Genome.from_fasta(str(fa))
