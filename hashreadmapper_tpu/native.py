@@ -79,6 +79,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, i32p, i32p,   # query pool/off/len
             ctypes.c_char_p, i32p, i32p,   # ref pool/off/len
             i32p, i32p, i32p, i32p, i32p, i32p,  # score1, rb, re, qb, qe, flag
+            ctypes.c_char_p,               # diag (int8, nullable)
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n_pairs, threads, codes
             i32p, i32p,                    # mismatches_out, flag_out
             ctypes.c_char_p, i32p, ctypes.c_int]  # cigars, lens, stride
@@ -205,12 +206,14 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
                      ref_pool: bytes, ref_off, ref_len,
                      score1, ref_begin, ref_end, query_begin, query_end,
                      flag_in, threads: int = 0, cigar_stride: int = 1024,
-                     codes: bool = False):
+                     codes: bool = False, diag=None):
     """Banded CIGAR + =/X rewrite for device-scored pairs.
 
     All array args are int32 numpy arrays of equal length n.  With
     codes=True the pools hold 0..4 base codes instead of ASCII (zero-copy
-    in the native worker).  Returns
+    in the native worker).  diag (optional bool/int8 [n]): pairs certified
+    all-M by the device (swdev._diag_fastpath_flag) skip the banded DP and
+    run only the =/X rewrite.  Returns
     (cigars list[str], mismatches [n] int32, flags [n] int32).
     """
     import os as _os
@@ -232,13 +235,18 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
     flags = np.zeros(n, np.int32)
     clens = np.zeros(n, np.int32)
     cigars_buf = ctypes.create_string_buffer(n * cigar_stride)
+    if diag is not None:
+        diag_arr = np.ascontiguousarray(diag, dtype=np.int8)
+        diag_p = diag_arr.ctypes.data_as(ctypes.c_char_p)
+    else:
+        diag_p = None
     rc = lib.hrm_ssw_finish_batch(
         query_pool, arrs[0].ctypes.data_as(i32p), arrs[1].ctypes.data_as(i32p),
         ref_pool, arrs[2].ctypes.data_as(i32p), arrs[3].ctypes.data_as(i32p),
         arrs[4].ctypes.data_as(i32p), arrs[5].ctypes.data_as(i32p),
         arrs[6].ctypes.data_as(i32p), arrs[7].ctypes.data_as(i32p),
         arrs[8].ctypes.data_as(i32p), arrs[9].ctypes.data_as(i32p),
-        n, threads, int(codes),
+        diag_p, n, threads, int(codes),
         mism.ctypes.data_as(i32p), flags.ctypes.data_as(i32p),
         cigars_buf, clens.ctypes.data_as(i32p), cigar_stride)
     if rc != 0:

@@ -302,22 +302,83 @@ def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
             "flag2": score1 > best, "overflowed": ovf}
 
 
+def _diag_fastpath_flag(read_codes, ref_codes, score1, ref_begin, ref_end,
+                        query_begin, query_end, overflowed, n_cols: int):
+    """all-M traceback certificate (the banded-DP bypass).
+
+    Claim: if the matched subregions have EQUAL lengths (m == r) and the
+    gapless diagonal score  S = sum_k score(read[qb+k], ref[rb+k])  equals
+    score1, then the reference's banded traceback (ssw.c:595-790, oracle
+    align/sw.py::_banded_cigar) is exactly m 'M' ops — so the CIGAR is
+    soft-clips + the =/X rewrite of the diagonal, no DP needed.
+
+    Proof sketch (each step per band iteration, any band width >= 1):
+      (a) banded h <= unbanded h pointwise (out-of-band reads of h/e/f as 0
+          only lower the clamped quantities the cells consume), and any
+          subregion path is a path of the full strings, so
+          banded_best <= score1.
+      (b) h[i,i] >= h[i-1,i-1] + s_i (the diagonal candidate t2 is always
+          in band for bw >= 1), hence h[i,i] >= prefix_i by induction.
+      (c) if at some diagonal cell the gap branch won STRICTLY
+          (t1 > t2, the only way d_h != 1 given the <= tie rule), then
+          h[i,i] > prefix_i and chaining (b) to the corner gives
+          h[m-1,m-1] > S = score1 — contradicting (a).
+    So every visited diagonal cell has d_h == 1 and the corner-to-(0,*)
+    walk stays on the diagonal.  (Also by (b) banded_best >= S = score1,
+    so the band never doubles.)  The flag is computed on device so the
+    host never runs the banded DP for these pairs (the vast majority:
+    substitution-only alignments, i.e. everything without an indel).
+    """
+    lq = read_codes.shape[1]
+    P = read_codes.shape[0]
+    m = query_end - query_begin + 1
+    r = ref_end - ref_begin + 1
+    # shifted_ref[a] = ref[a + delta], delta = ref_begin - query_begin in
+    # [-(lq-1), n_cols-1]; barrel-shift (log2 select+roll) instead of a
+    # per-pair gather (XLA gathers cost ~18 ns/element on this backend)
+    pad = jnp.full((lq, P), 4, jnp.int32)
+    x = jnp.concatenate([pad, ref_codes.astype(jnp.int32).T[:n_cols], pad],
+                        axis=0)                      # index c = a + delta + lq
+    size = int(x.shape[0])
+    sh = (ref_begin - query_begin + lq).astype(jnp.int32)  # in [1, lq+n_cols)
+    bits = max(1, (size - 1).bit_length())
+    for b in range(bits):
+        step = 1 << b
+        if step >= size:
+            break
+        x = jnp.where((sh & step).astype(bool)[None, :],
+                      jnp.roll(x, -step, axis=0), x)
+    read_t = read_codes.astype(jnp.int32).T                 # [LQ, P]
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (lq, 1), 0)
+    active = (a_idx >= query_begin[None, :]) & (a_idx <= query_end[None, :])
+    ref_at = x[:lq]
+    s = jnp.where((read_t == ref_at) & (read_t < 4), MATCH, -MISMATCH)
+    diag_sum = jnp.sum(jnp.where(active, s, 0), axis=0)
+    return ((m == r) & (diag_sum == score1) & ~overflowed
+            & (score1 > 0) & (ref_end >= 0))
+
+
 @partial(jax.jit, static_argnames=("n_cols",))
 def ssw_score_packed(read_codes, read_len, ref_codes, ref_len, mask_len,
                      n_cols: int):
-    """Forward + reverse pass fused, ONE packed [9, P] int32 output (the
+    """Forward + reverse pass fused, ONE packed [10, P] int32 output (the
     transport pays a large per-transfer cost, so everything comes back in a
     single device->host fetch).  Rows: score1, ref_end, query_end, score2,
-    ref_end2, ref_begin, query_begin, flag2, overflowed(fwd|rev)."""
+    ref_end2, ref_begin, query_begin, flag2, overflowed(fwd|rev), diag."""
     fwd = ssw_forward_batch(read_codes, read_len, ref_codes, ref_len,
                             mask_len, n_cols)
     rev = ssw_reverse_batch(read_codes, read_len, ref_codes, fwd["score1"],
                             fwd["ref_end"], fwd["query_end"], n_cols)
+    ovf = fwd["overflowed"] | rev["overflowed"]
+    diag = _diag_fastpath_flag(read_codes, ref_codes, fwd["score1"],
+                               rev["ref_begin"], fwd["ref_end"],
+                               rev["query_begin"], fwd["query_end"],
+                               ovf, n_cols)
     return jnp.stack([
         fwd["score1"], fwd["ref_end"], fwd["query_end"], fwd["score2"],
         fwd["ref_end2"], rev["ref_begin"], rev["query_begin"],
         rev["flag2"].astype(jnp.int32),
-        (fwd["overflowed"] | rev["overflowed"]).astype(jnp.int32)], axis=0)
+        ovf.astype(jnp.int32), diag.astype(jnp.int32)], axis=0)
 
 
 def ssw_score_dispatch(read_codes, read_len, ref_codes, ref_len, mask_len):
@@ -345,6 +406,7 @@ def ssw_score_collect(packed_dev):
         "flag": np.where(packed[7] != 0, 2, 0).astype(np.int32),
         "degenerate": degenerate,
         "host_fallback": fallback,
+        "diag": packed[9].astype(bool),
     }
 
 

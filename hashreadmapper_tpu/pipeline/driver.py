@@ -46,16 +46,29 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
     # main_gpu.cu:1114-1119); here progress is reads through STEP 1+2
     progress = ProgressReporter(n, label="reads mapped+aligned",
                                 enabled=opts.show_progress)
+    from .. import native
+
+    # fused coarse+score path: the STEP-2 striped-SW score pass runs inside
+    # the coarse device step (engine._step2_scores), so the worker thread
+    # never dispatches to the device (no tunnel roundtrips, no contention
+    # with the next chunk's coarse mapping)
+    fused = (getattr(mapper, "supports_fused_scores", False)
+             and getattr(opts, "step2_device", False) and native.available())
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = []
         for c0 in range(0, n, chunk):
             c1 = min(c0 + chunk, n)
-            res = mapper.map_reads(bases[c0:c1], reads.lengths[c0:c1])
+            if fused:
+                res, scores = mapper.map_reads(
+                    bases[c0:c1], reads.lengths[c0:c1], with_scores=True)
+            else:
+                res = mapper.map_reads(bases[c0:c1], reads.lengths[c0:c1])
+                scores = None
             res_parts.append(res)
             futs.append((c0, c1, ex.submit(
                 mapping.run_cssw, genome, genome_rc, res.orientation,
                 res.position, res.chromosome_id, reads.slice_rows(c0, c1),
-                opts, res.bs_strand)))
+                opts, res.bs_strand, scores)))
         mappingout = []
         for c0, c1, f in futs:
             part = f.result()

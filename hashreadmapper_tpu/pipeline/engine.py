@@ -621,6 +621,132 @@ class CoarseMapper:
         return packed, overflow
 
     # ------------------------------------------------------------------
+    # fused STEP-2 scoring: the striped-SW score pass (ops/swdev.py) runs
+    # INSIDE the coarse-mapping dispatch, gathering windows from the
+    # device-resident genome — no host staging of pair arrays, no extra
+    # transport roundtrips (the reference runs STEP 2 as a separate host
+    # phase, mappinghandler.cu:383-774; on this backend every extra
+    # dispatch/transfer pays tunnel latency, so fusing is the win).
+    # ------------------------------------------------------------------
+    supports_fused_scores = True
+
+    def _ensure_genome_s2(self):
+        """Device [G] codes 0..4 (N preserved) packed 8 codes / int32.
+
+        STEP-2 refs need N kept distinct (score matrix treats N as
+        mismatch; sw.TRANSLATE), unlike genome_concat's 0..3.  Packed
+        nibbles: the window gather fetches ws/8 + 1 words per read instead
+        of ws bases (XLA gathers cost ~18 ns/element here)."""
+        if getattr(self, "_genome_s2", None) is None:
+            assert self.segments is None, (
+                "fused STEP-2 scoring is only wired for the plain mapper")
+            from ..align import sw as _sw
+            parts = [_sw.TRANSLATE[np.asarray(a)]
+                     for a in self.genome.seqs_ascii]
+            codes = np.concatenate(parts).astype(np.uint32)
+            pad = (-len(codes)) % 8
+            if pad:
+                codes = np.concatenate([codes, np.full(pad, 4, np.uint32)])
+            packed = np.zeros(len(codes) // 8, np.uint32)
+            for j in range(8):
+                packed |= codes[j::8] << (4 * j)
+            self._genome_s2 = jnp.asarray(packed)
+        return self._genome_s2
+
+    def _step2_scores(self, chrom_offset, chrom_len, genome_s2,
+                      read_bases, read_len, packed):
+        """Traced tail of the scored step: build the STEP-2 3N pairs from
+        the coarse results and run the device score pass.  Pair layout and
+        3N/strand handling mirror pipeline/mapping.py::_run_cssw_device
+        exactly (pairs [2i] = 3N query, [2i+1] = 3N RC query, same 3N
+        window ref; PBAT G->A collapse only for strand==1 FORWARD reads).
+        Returns [10, 2B] int16 (the ssw_score_packed rows + diag)."""
+        from ..ops import encode, swdev
+        opts = self.opts
+        ws = opts.window_size
+        b, lq = read_bases.shape
+        ori = packed[:, 0]
+        chrom = packed[:, 3]
+        pos = packed[:, 4]
+        strand = packed[:, 6]
+        rc = encode.revcomp_bases(read_bases, read_len)
+        is_rc = (ori == 2)[:, None]
+        fwd = jnp.where(is_rc, rc, read_bases)
+        rcq = jnp.where(is_rc, read_bases, rc)
+        sc = ((strand != 0) & (ori == 1))[:, None]
+
+        def collapse(m):
+            ct = jnp.where(m == 1, jnp.int8(3), m)
+            if not opts.undirectional:
+                return ct
+            ga = jnp.where(m == 2, jnp.int8(0), m)
+            return jnp.where(sc, ga, ct)
+
+        clen = jnp.take(chrom_len, chrom)
+        wl = jnp.where(pos + ws < clen, ws, clen - pos).astype(jnp.int32)
+        base = jnp.take(chrom_offset, chrom).astype(jnp.int32) + pos
+        # packed-nibble window gather + 3-step barrel realign (no per-base
+        # gather): words w0..w0+ws/8 then shift by (base & 7) nibbles
+        nw = ws // 8 + 1
+        w0 = base >> 3
+        widx = jnp.minimum(w0[:, None] + jnp.arange(nw, dtype=jnp.int32),
+                           genome_s2.shape[0] - 1)
+        words = jnp.take(genome_s2, widx.reshape(-1)).reshape(b, nw)
+        shifts = (jnp.arange(nw * 8, dtype=jnp.uint32) % 8 * 4)[None, :]
+        codes = (jnp.repeat(words, 8, axis=1) >> shifts) & 0xF
+        off = (base & 7)[:, None]
+        for s in (4, 2, 1):
+            codes = jnp.where((off & s).astype(bool),
+                              jnp.roll(codes, -s, axis=1), codes)
+        win = codes[:, :ws].astype(jnp.int8)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (b, ws), 1)
+        win = jnp.where(iw < wl[:, None], win, jnp.int8(4))
+        q3n = collapse(fwd)
+        rcq3n = collapse(rcq)
+        ref3n = collapse(win)
+        pair_q = jnp.stack([q3n, rcq3n], axis=1).reshape(2 * b, lq)
+        pair_ref = jnp.repeat(ref3n, 2, axis=0)
+        rl32 = read_len.astype(jnp.int32)
+        pair_rl = jnp.repeat(rl32, 2)
+        pair_fl = jnp.repeat(wl, 2)
+        pair_ml = jnp.repeat(jnp.maximum(15, rl32 // 2), 2)
+        packed10 = swdev.ssw_score_packed(pair_q, pair_rl, pair_ref,
+                                          pair_fl, pair_ml, ws)
+        return packed10.astype(jnp.int16)
+
+    @partial(jax.jit, static_argnames=("self", "bsz"))
+    def _map_batch_scored_at_impl(self, index_keys, index_offsets,
+                                  index_values, index_num_keys, bucket_start,
+                                  cuckoo_keys, cuckoo_payload, genome_hi,
+                                  genome_lo, win_pos, win_chrom, chrom_offset,
+                                  chrom_len, hash_ids, genome_s2,
+                                  all_bases, all_lens, all_valid, start, bsz,
+                                  dropped_keys, dropped_num):
+        chunk = jax.lax.dynamic_slice_in_dim(all_bases, start, bsz, 0)
+        lens = jax.lax.dynamic_slice_in_dim(all_lens, start, bsz, 0)
+        valid = jax.lax.dynamic_slice_in_dim(all_valid, start, bsz, 0)
+        packed, overflow = self._map_batch_impl(
+            index_keys, index_offsets, index_values, index_num_keys,
+            bucket_start, cuckoo_keys, cuckoo_payload,
+            genome_hi, genome_lo, win_pos, win_chrom,
+            chrom_offset, chrom_len, hash_ids,
+            chunk, lens, valid, dropped_keys, dropped_num)
+        scores16 = self._step2_scores(chrom_offset, chrom_len, genome_s2,
+                                      chunk, lens, packed)
+        return packed, overflow, scores16
+
+    def _map_batch_scored_at(self, all_bases, all_lens, all_valid, start,
+                             bsz, dropped_keys, dropped_num):
+        t = self.table
+        i = self.index
+        return self._map_batch_scored_at_impl(
+            i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
+            i.cuckoo_keys, i.cuckoo_payload,
+            t.genome_hi, t.genome_lo, t.win_pos, t.win_chrom, t.chrom_offset,
+            t.chrom_len, self._hash_ids_dev, self._ensure_genome_s2(),
+            all_bases, all_lens, all_valid, start, bsz,
+            dropped_keys, dropped_num)
+
     def _map_reads_device(self, all_bases, all_lens, all_valid, n_pad: int,
                           bsz: int, collect_candidates: bool = False):
         """Dispatch all batches asynchronously; results stay ON DEVICE.
@@ -776,13 +902,20 @@ class CoarseMapper:
     def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray,
                   precomputed_sigs: Optional[np.ndarray] = None,
                   emulate_read_key_drop: bool = True,
-                  collect_candidates: bool = False) -> CoarseResults:
+                  collect_candidates: bool = False,
+                  with_scores: bool = False):
         """Map all reads (host driver: batches the jitted step).
 
         read_bases: [N, L] int8 padded; read_lengths: [N] int32.
+        with_scores: also run the fused STEP-2 score pass per batch and
+        return (CoarseResults, scores [10, 2N] int16) — see _step2_scores.
         """
         opts = self.opts
         n, lr = read_bases.shape
+        if with_scores and n == 0:
+            return self.map_reads(read_bases, read_lengths, precomputed_sigs,
+                                  emulate_read_key_drop), \
+                np.zeros((10, 0), np.int16)
         if n == 0:
             return CoarseResults(
                 orientation=np.full(0, shd.NONE, dtype=np.int8),
@@ -830,13 +963,16 @@ class CoarseMapper:
         pool_n = self.read_pool_size(n, lr, bsz)
         packed_parts = []
         overflow_parts = []
+        score_parts = []
         cand_all = []
         pending = None
 
         def fetch(chunk):
-            packed_dev, overflow_dev, chunk_n, cand_batches = chunk
+            packed_dev, overflow_dev, chunk_n, cand_batches, score_dev = chunk
             packed_parts.append(np.asarray(packed_dev)[:chunk_n])
             overflow_parts.append(np.asarray(overflow_dev))
+            if score_dev is not None:
+                score_parts.append(np.asarray(score_dev)[:, :2 * chunk_n])
             if collect_candidates:
                 cand_all.append((
                     np.asarray(jnp.concatenate(
@@ -848,12 +984,28 @@ class CoarseMapper:
             c1 = min(c0 + pool_n, n)
             all_bases, all_lens, all_valid, n_pad = self.stage_reads_device(
                 read_bases[c0:c1], read_lengths[c0:c1])
-            packed_dev, overflow_dev, cand_batches = self._map_reads_device(
-                all_bases, all_lens, all_valid, n_pad, bsz,
-                collect_candidates)
+            if with_scores:
+                pk, ov, sc = [], [], []
+                for start in range(0, n_pad, bsz):
+                    p, o, s = self._map_batch_scored_at(
+                        all_bases, all_lens, all_valid, jnp.int32(start),
+                        bsz, self.dropped[0], self.dropped[1])
+                    pk.append(p)
+                    ov.append(o)
+                    sc.append(s)
+                packed_dev = jnp.concatenate(pk, axis=0)
+                overflow_dev = jnp.stack(ov).sum(axis=0)
+                score_dev = jnp.concatenate(sc, axis=1)
+                cand_batches = []
+            else:
+                packed_dev, overflow_dev, cand_batches = \
+                    self._map_reads_device(all_bases, all_lens, all_valid,
+                                           n_pad, bsz, collect_candidates)
+                score_dev = None
             if pending is not None:
                 fetch(pending)
-            pending = (packed_dev, overflow_dev, c1 - c0, cand_batches)
+            pending = (packed_dev, overflow_dev, c1 - c0, cand_batches,
+                       score_dev)
         fetch(pending)
         all_packed = (np.concatenate(packed_parts)
                       if len(packed_parts) > 1 else packed_parts[0])
@@ -862,7 +1014,7 @@ class CoarseMapper:
             self.last_candidates = (
                 np.concatenate([c for c, _ in cand_all]),
                 np.concatenate([o for _, o in cand_all]))
-        return CoarseResults(
+        results = CoarseResults(
             orientation=all_packed[:, 0].astype(np.int8),
             hamming=all_packed[:, 1].astype(np.int32),
             shift=all_packed[:, 2].astype(np.int32),
@@ -875,3 +1027,8 @@ class CoarseMapper:
                    "probe_tail_overflow": int(all_overflow[3]),
                    **self._fallback_stats()},
             bs_strand=all_packed[:, 6].astype(np.int8))
+        if with_scores:
+            all_scores = (np.concatenate(score_parts, axis=1)
+                          if len(score_parts) > 1 else score_parts[0])
+            return results, all_scores
+        return results

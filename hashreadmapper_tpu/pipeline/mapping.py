@@ -239,13 +239,17 @@ def run_cssw(genome: Genome, genome_rc: Genome,
              orientation: np.ndarray, position: np.ndarray,
              chromosome_id: np.ndarray, reads: ReadStorage,
              opts: ProgramOptions,
-             bs_strand: Optional[np.ndarray] = None
+             bs_strand: Optional[np.ndarray] = None,
+             pre_scores: Optional[np.ndarray] = None
              ) -> List[AlignerArguments]:
     """The CSSW mapping stage over all reads (mappinghandler.cu:383-774).
 
     Production path: batched argument construction + device striped-SW
     score passes (ops/swdev.py) + native CIGAR-only finish — bit-identical
     to the serial host path below (tests/test_mapping_device.py).
+    pre_scores: the fused coarse+score pass output for ALL reads
+    ([10, 2N] int16, engine.CoarseMapper._step2_scores) — skips the
+    standalone score dispatch entirely.
     """
     from .. import native
     if bs_strand is None:
@@ -261,7 +265,8 @@ def run_cssw(genome: Genome, genome_rc: Genome,
             and native.available()):
         try:
             out = _run_cssw_device(genome, genome_rc, orientation, position,
-                                   chromosome_id, reads, opts, bs_strand)
+                                   chromosome_id, reads, opts, bs_strand,
+                                   pre_scores=pre_scores)
         except ImportError:
             pass  # no jax -> host path
     if out is None:
@@ -370,7 +375,8 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
                      orientation: np.ndarray, position: np.ndarray,
                      chromosome_id: np.ndarray, reads: ReadStorage,
                      opts: ProgramOptions,
-                     bs_strand: Optional[np.ndarray] = None
+                     bs_strand: Optional[np.ndarray] = None,
+                     pre_scores: Optional[np.ndarray] = None
                      ) -> List[AlignerArguments]:
     """Batched STEP 2: vectorized argument prep (replaces the reference's
     serial per-read loop, mappinghandler.cu:397-553), device striped-SW
@@ -512,16 +518,33 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     dev = {k: np.empty(P, np.int32) for k in fields}
     dev["host_fallback"] = np.empty(P, bool)
     dev["degenerate"] = np.empty(P, bool)
+    dev["diag"] = np.empty(P, bool)
     pending = []
-    for s in range(0, P, chunk):
-        e = min(s + chunk, P)
-        pad = chunk - (e - s)
-        sl = lambda a, fill: (np.concatenate(
-            [a[s:e], np.full((pad,) + a.shape[1:], fill, a.dtype)])
-            if pad else a[s:e])
-        pending.append((s, e, swdev.ssw_score_dispatch(
-            sl(pair_q, 4), sl(pair_rl, 1), sl(pair_ref, 4),
-            sl(pair_fl, 1), sl(pair_ml, 15))))
+    if pre_scores is not None:
+        # fused path: the coarse step already scored every (read x 2)
+        # pair on device (engine._step2_scores); select the mapped reads'
+        # interleaved pair rows
+        idx = np.empty(2 * nm, np.int64)
+        idx[0::2] = 2 * m
+        idx[1::2] = 2 * m + 1
+        sp = pre_scores[:, idx].astype(np.int32)
+        dev["score1"], dev["ref_end"], dev["query_end"] = sp[0], sp[1], sp[2]
+        dev["score2"], dev["ref_end2"], dev["ref_begin"] = sp[3], sp[4], sp[5]
+        dev["query_begin"] = sp[6]
+        dev["flag"] = np.where(sp[7] != 0, 2, 0).astype(np.int32)
+        dev["host_fallback"] = sp[8] != 0
+        dev["degenerate"] = (sp[0] == 0) | (sp[1] < 0)
+        dev["diag"] = sp[9] != 0
+    else:
+        for s in range(0, P, chunk):
+            e = min(s + chunk, P)
+            pad = chunk - (e - s)
+            sl = lambda a, fill: (np.concatenate(
+                [a[s:e], np.full((pad,) + a.shape[1:], fill, a.dtype)])
+                if pad else a[s:e])
+            pending.append((s, e, swdev.ssw_score_dispatch(
+                sl(pair_q, 4), sl(pair_rl, 1), sl(pair_ref, 4),
+                sl(pair_fl, 1), sl(pair_ml, 15))))
 
     als: List[Optional[sw.Alignment]] = [None] * P
     mk = sw.Alignment
@@ -545,7 +568,8 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             dev["score1"][fin], dev["ref_begin"][fin],
             dev["ref_end"][fin], dev["query_begin"][fin],
             dev["query_end"][fin], dev["flag"][fin],
-            threads=max(1, opts.threads), codes=True)
+            threads=max(1, opts.threads), codes=True,
+            diag=dev["diag"][fin])
         mism_l = mism.tolist()
         flags_l = flags.tolist()
         s1l = dev["score1"][fin].tolist()
@@ -572,12 +596,16 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     with ThreadPoolExecutor(max_workers=2) as ex:
         aa_fut = ex.submit(build_out)
         futs = []
-        for s, e, packed_dev in pending:
-            res = swdev.ssw_score_collect(packed_dev)
-            for k in dev:
-                dev[k][s:e] = res[k][:e - s]
-            futs.append(ex.submit(finish_range, s, e))
-        _mark("device_score")
+        if pre_scores is not None:
+            _mark("device_score")
+            finish_range(0, P)
+        else:
+            for s, e, packed_dev in pending:
+                res = swdev.ssw_score_collect(packed_dev)
+                for k in dev:
+                    dev[k][s:e] = res[k][:e - s]
+                futs.append(ex.submit(finish_range, s, e))
+            _mark("device_score")
         for f in futs:
             f.result()
         out, q_ascii, rcq_ascii = aa_fut.result()

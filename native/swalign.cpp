@@ -332,16 +332,23 @@ static void finish_alignment(const int8_t* read, const int8_t* ref_t,
                              int gap_open, int gap_extend,
                              int match_s, int mismatch_s,
                              int32_t* flag_out, int32_t* mismatches_out,
-                             std::string* cig_out) {
+                             std::string* cig_out, int diag_certified) {
     *flag_out = flag_in;
     *mismatches_out = 0;
     cig_out->clear();
     thread_local std::vector<std::pair<int, char>> entries;
-    if (!banded_cigar(read + query_begin,
-                      query_end - query_begin + 1,
-                      ref_t + ref_begin, ref_end - ref_begin + 1,
-                      score1, gap_open, gap_extend,
-                      match_s, mismatch_s, &entries)) {
+    if (diag_certified) {
+        // device-certified all-M traceback (ops/swdev.py::_diag_fastpath_flag
+        // carries the proof): equal-length subregions whose gapless diagonal
+        // score equals score1 always trace back as one m-long M run, so the
+        // banded DP is skipped entirely and only the =/X rewrite below runs.
+        entries.clear();
+        entries.push_back({query_end - query_begin + 1, 'M'});
+    } else if (!banded_cigar(read + query_begin,
+                             query_end - query_begin + 1,
+                             ref_t + ref_begin, ref_end - ref_begin + 1,
+                             score1, gap_open, gap_extend,
+                             match_s, mismatch_s, &entries)) {
         *flag_out = 1;
         return;
     }
@@ -471,7 +478,7 @@ int hrm_ssw_align(const char* query, int query_len,
                      out->ref_begin, fw.end_ref, out->query_begin,
                      fw.end_read, out->flag,
                      gap_open, gap_extend, match_s, mismatch_s,
-                     &out->flag, &out->mismatches, &cig);
+                     &out->flag, &out->mismatches, &cig, 0);
     out->cigar_len = (int)cig.size();
     if ((int)cig.size() + 1 > cigar_buf_size) return 1;
     std::memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
@@ -492,6 +499,7 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                          const int32_t* score1, const int32_t* ref_begin,
                          const int32_t* ref_end, const int32_t* query_begin,
                          const int32_t* query_end, const int32_t* flag_in,
+                         const int8_t* diag,
                          int n_pairs, int n_threads, int codes_in,
                          int32_t* mismatches_out, int32_t* flag_out,
                          char* cigar_pool, int32_t* cigar_len_out,
@@ -548,6 +556,7 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                          const int32_t* score1, const int32_t* ref_begin,
                          const int32_t* ref_end, const int32_t* query_begin,
                          const int32_t* query_end, const int32_t* flag_in,
+                         const int8_t* diag,
                          int n_pairs, int n_threads, int codes_in,
                          int32_t* mismatches_out, int32_t* flag_out,
                          char* cigar_pool, int32_t* cigar_len_out,
@@ -585,7 +594,7 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                              ref_end[i], query_begin[i], query_end[i],
                              flag_in[i], gap_open, gap_extend, match_s,
                              mismatch_s, &flag_out[i], &mismatches_out[i],
-                             &cig);
+                             &cig, diag ? diag[i] : 0);
             cigar_len_out[i] = (int32_t)cig.size();
             if ((int)cig.size() + 1 > cigar_stride) { err.store(1); continue; }
             std::memcpy(cigar_pool + (size_t)i * cigar_stride, cig.c_str(),
