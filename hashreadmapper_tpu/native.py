@@ -111,6 +111,32 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.c_char_p, ctypes.c_char_p]
+        if hasattr(lib, "hrm_sam_emit"):
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.c_char_p
+            lib.hrm_sam_emit.restype = ctypes.c_int
+            lib.hrm_sam_emit.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                u8p, ctypes.c_int, i32p,           # q pool/lq/len
+                u8p, ctypes.c_int, i32p,           # win pool/ws/len
+                i64p, i32p,                        # position, chrom
+                u8p, i64p, i32p,                   # names pool/off/len
+                i32p, i32p,                        # flag0, flag1
+                i32p, i32p, i32p, i32p,            # sw, nb, qb, conv
+                u8p, i64p, i32p,                   # cig pool/off/len
+                u8p,                               # qual pool (nullable)
+                ctypes.c_longlong, ctypes.c_int,   # rid_base, threads
+                i64p, i64p]                        # mapped/unmapped out
+            lib.hrm_vc_emit.restype = ctypes.c_int
+            lib.hrm_vc_emit.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                u8p, ctypes.c_int, i32p,
+                u8p, ctypes.c_int, i32p,
+                i64p, i32p,
+                u8p, i64p, i32p,
+                i32p, i32p, i32p,                  # sw, nb, qb
+                u8p, i64p, i32p,                   # cig pool/off/len
+                ctypes.c_longlong]                 # rid_base
         if hasattr(lib, "hrm_cuckoo_build"):
             lib.hrm_cuckoo_build.restype = ctypes.c_int
             lib.hrm_cuckoo_build.argtypes = [
@@ -206,7 +232,7 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
                      ref_pool: bytes, ref_off, ref_len,
                      score1, ref_begin, ref_end, query_begin, query_end,
                      flag_in, threads: int = 0, cigar_stride: int = 1024,
-                     codes: bool = False, diag=None):
+                     codes: bool = False, diag=None, raw: bool = False):
     """Banded CIGAR + =/X rewrite for device-scored pairs.
 
     All array args are int32 numpy arrays of equal length n.  With
@@ -214,7 +240,9 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
     in the native worker).  diag (optional bool/int8 [n]): pairs certified
     all-M by the device (swdev._diag_fastpath_flag) skip the banded DP and
     run only the =/X rewrite.  Returns
-    (cigars list[str], mismatches [n] int32, flags [n] int32).
+    (cigars list[str], mismatches [n] int32, flags [n] int32); with
+    raw=True the cigars come back undecoded as (raw bytes strided by
+    cigar_stride, lengths [n] int32) for bulk pooling (records mode).
     """
     import os as _os
 
@@ -223,7 +251,10 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
     lib = get_lib()
     n = len(score1)
     if n == 0:
-        return [], np.zeros(0, np.int32), np.zeros(0, np.int32)
+        z = np.zeros(0, np.int32)
+        if raw:
+            return (b"", z.copy(), z.copy(), z.copy())
+        return [], z.copy(), z.copy()
     if threads <= 0:
         threads = min(32, _os.cpu_count() or 1)
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -251,8 +282,10 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
         cigars_buf, clens.ctypes.data_as(i32p), cigar_stride)
     if rc != 0:
         raise RuntimeError("hrm_ssw_finish_batch failed (cigar overflow?)")
-    raw = cigars_buf.raw
-    cigars = [raw[i * cigar_stride:i * cigar_stride + clens[i]]
+    raw_bytes = cigars_buf.raw
+    if raw:
+        return raw_bytes, clens, mism, flags
+    cigars = [raw_bytes[i * cigar_stride:i * cigar_stride + clens[i]]
               .decode("latin1") for i in range(n)]
     return cigars, mism, flags
 
@@ -361,3 +394,103 @@ def cuckoo_build(keys, bits: int, seed1: int, seed2: int):
         len(keys), bits, seed1 & 0xFFFFFFFF, seed2 & 0xFFFFFFFF,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out if rc == 0 else None
+
+
+def emit_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "hrm_sam_emit")
+
+
+def sam_emit(path: str, rec, names_pool: bytes, names_off, names_len,
+             rid_base: int = 0, threads: int = 0):
+    """Bulk SAM writer over a MappingRecords struct (native/emit.cpp);
+    byte-identical to pipeline.mapping.print_to_sam.  Returns the
+    {'mapped','unmapped'} stats dict."""
+    import os as _os
+
+    import numpy as np
+
+    lib = get_lib()
+    if threads <= 0:
+        threads = min(16, _os.cpu_count() or 1)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    as_ = lambda a, dt: np.ascontiguousarray(a, dtype=dt)
+    p32 = lambda a: as_(a, np.int32).ctypes.data_as(i32p)
+    p64 = lambda a: as_(a, np.int64).ctypes.data_as(i64p)
+    # keep converted arrays alive for the call
+    q = as_(rec.q, np.uint8)
+    win = as_(rec.win, np.uint8)
+    keep = [q, win,
+            as_(rec.q_len, np.int32), as_(rec.win_len, np.int32),
+            as_(rec.position, np.int64), as_(rec.chrom, np.int32),
+            as_(names_off, np.int64), as_(names_len, np.int32),
+            as_(rec.flag0, np.int32), as_(rec.flag1, np.int32),
+            as_(rec.sw, np.int32), as_(rec.nb, np.int32),
+            as_(rec.qb, np.int32), as_(rec.conv, np.int32),
+            as_(rec.cig_pool, np.uint8),
+            as_(rec.cig_off, np.int64), as_(rec.cig_len, np.int32)]
+    qual = None
+    if rec.qual is not None:
+        qual = as_(rec.qual, np.uint8)
+        assert qual.shape == q.shape
+    mapped = ctypes.c_int64(0)
+    unmapped = ctypes.c_int64(0)
+    pp = lambda a: a.ctypes.data_as(ctypes.c_char_p)
+    rc = lib.hrm_sam_emit(
+        path.encode(), rec.n,
+        pp(q), int(rec.lq), keep[2].ctypes.data_as(i32p),
+        pp(win), int(rec.ws), keep[3].ctypes.data_as(i32p),
+        keep[4].ctypes.data_as(i64p), keep[5].ctypes.data_as(i32p),
+        names_pool, keep[6].ctypes.data_as(i64p),
+        keep[7].ctypes.data_as(i32p),
+        keep[8].ctypes.data_as(i32p), keep[9].ctypes.data_as(i32p),
+        keep[10].ctypes.data_as(i32p), keep[11].ctypes.data_as(i32p),
+        keep[12].ctypes.data_as(i32p), keep[13].ctypes.data_as(i32p),
+        pp(keep[14]), keep[15].ctypes.data_as(i64p),
+        keep[16].ctypes.data_as(i32p),
+        (pp(qual) if qual is not None else None),
+        rid_base, threads, ctypes.byref(mapped), ctypes.byref(unmapped))
+    if rc != 0:
+        raise RuntimeError(f"hrm_sam_emit failed rc={rc}")
+    return {"mapped": int(mapped.value), "unmapped": int(unmapped.value)}
+
+
+def vc_emit(path: str, rec, names_pool: bytes, names_off, names_len,
+            rid_base: int = 0) -> bool:
+    """Bulk VCF writer (VariantHandler walk in C++, native/emit.cpp);
+    byte-identical to pipeline.mapping.do_vc.  Returns False when the
+    native walk hit a python-semantics edge it cannot replicate (caller
+    falls back to the python VariantHandler, which raises the same way
+    the oracle would)."""
+    import numpy as np
+
+    lib = get_lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    as_ = lambda a, dt: np.ascontiguousarray(a, dtype=dt)
+    q = as_(rec.q, np.uint8)
+    win = as_(rec.win, np.uint8)
+    keep = [q, win,
+            as_(rec.q_len, np.int32), as_(rec.win_len, np.int32),
+            as_(rec.position, np.int64), as_(rec.chrom, np.int32),
+            as_(names_off, np.int64), as_(names_len, np.int32),
+            as_(rec.sw, np.int32), as_(rec.nb, np.int32),
+            as_(rec.qb, np.int32),
+            as_(rec.cig_pool, np.uint8),
+            as_(rec.cig_off, np.int64), as_(rec.cig_len, np.int32)]
+    pp = lambda a: a.ctypes.data_as(ctypes.c_char_p)
+    rc = lib.hrm_vc_emit(
+        path.encode(), rec.n,
+        pp(q), int(rec.lq), keep[2].ctypes.data_as(i32p),
+        pp(win), int(rec.ws), keep[3].ctypes.data_as(i32p),
+        keep[4].ctypes.data_as(i64p), keep[5].ctypes.data_as(i32p),
+        names_pool, keep[6].ctypes.data_as(i64p),
+        keep[7].ctypes.data_as(i32p),
+        keep[8].ctypes.data_as(i32p), keep[9].ctypes.data_as(i32p),
+        keep[10].ctypes.data_as(i32p),
+        pp(keep[11]), keep[12].ctypes.data_as(i64p),
+        keep[13].ctypes.data_as(i32p), rid_base)
+    if rc == -1:
+        raise OSError(f"cannot open {path}")
+    return rc == 0

@@ -54,6 +54,7 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
     # with the next chunk's coarse mapping)
     fused = (getattr(mapper, "supports_fused_scores", False)
              and getattr(opts, "step2_device", False) and native.available())
+    from .records import MappingRecords
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = []
         for c0 in range(0, n, chunk):
@@ -68,14 +69,22 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
             futs.append((c0, c1, ex.submit(
                 mapping.run_cssw, genome, genome_rc, res.orientation,
                 res.position, res.chromosome_id, reads.slice_rows(c0, c1),
-                opts, res.bs_strand, scores)))
-        mappingout = []
+                opts, res.bs_strand, scores, True)))
+        parts = []
         for c0, c1, f in futs:
-            part = f.result()
-            for aa in part:
-                aa.read_id += c0
-            mappingout.extend(part)
+            parts.append((c0, f.result()))
             progress.add(c1 - c0)
+        if parts and all(isinstance(p, MappingRecords) for _, p in parts):
+            mappingout = MappingRecords.concat([p for _, p in parts])
+        else:
+            # mixed / AA chunks: read ids in AlignerArguments are
+            # chunk-local — rebase to global (records keep them implicit)
+            mappingout = []
+            for c0, p in parts:
+                aas = p.to_aas() if isinstance(p, MappingRecords) else p
+                for aa in aas:
+                    aa.read_id += c0
+                mappingout.extend(aas)
     if opts.show_progress:
         progress.finish()
 
@@ -210,12 +219,19 @@ def run_pipeline(opts: ProgramOptions,
                     "vcf_path": None, "timers": timers.totals(),
                     "reads": reads, "genome": genome}
         if opts.mapper_type == MapperType.SW:
+            from .records import MappingRecords, emit_sam
             if not pipelined:
                 mappingout = mapping.run_cssw(
                     genome, genome_rc, results.orientation, results.position,
-                    results.chromosome_id, reads, opts, results.bs_strand)
+                    results.chromosome_id, reads, opts, results.bs_strand,
+                    as_records=True)
             sam_path = opts.outputfile + ".SAM"
-            sam_stats = mapping.print_to_sam(mappingout, genome, sam_path)
+            if isinstance(mappingout, MappingRecords):
+                sam_stats = emit_sam(mappingout, genome, sam_path,
+                                     threads=max(1, opts.threads))
+            else:
+                sam_stats = mapping.print_to_sam(mappingout, genome,
+                                                 sam_path)
         else:
             from . import mapping_edlib
             mappingout = mapping_edlib.run_edlib(
@@ -229,7 +245,11 @@ def run_pipeline(opts: ProgramOptions,
 
     with timers.phase("process variant calling"):
         if opts.mapper_type == MapperType.SW:
-            vcf_path = mapping.do_vc(mappingout, genome, opts.outputfile)
+            from .records import MappingRecords, emit_vcf
+            if isinstance(mappingout, MappingRecords):
+                vcf_path = emit_vcf(mappingout, genome, opts.outputfile)
+            else:
+                vcf_path = mapping.do_vc(mappingout, genome, opts.outputfile)
         else:
             vcf_path = None
 

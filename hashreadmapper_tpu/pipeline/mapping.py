@@ -235,13 +235,22 @@ def rescore_alignment(aa: AlignerArguments, h: int) -> None:
     aa.num_conversions[h] = num_conversions
 
 
+def records_supported() -> bool:
+    """True when the records-mode production path (struct-of-arrays STEP 2
+    + native bulk emit, pipeline/records.py) can run."""
+    from .. import native
+    lib = native.get_lib()
+    return (lib is not None and hasattr(lib, "hrm_rescore_batch")
+            and native.emit_available())
+
+
 def run_cssw(genome: Genome, genome_rc: Genome,
              orientation: np.ndarray, position: np.ndarray,
              chromosome_id: np.ndarray, reads: ReadStorage,
              opts: ProgramOptions,
              bs_strand: Optional[np.ndarray] = None,
-             pre_scores: Optional[np.ndarray] = None
-             ) -> List[AlignerArguments]:
+             pre_scores: Optional[np.ndarray] = None,
+             as_records: bool = False):
     """The CSSW mapping stage over all reads (mappinghandler.cu:383-774).
 
     Production path: batched argument construction + device striped-SW
@@ -250,6 +259,10 @@ def run_cssw(genome: Genome, genome_rc: Genome,
     pre_scores: the fused coarse+score pass output for ALL reads
     ([10, 2N] int16, engine.CoarseMapper._step2_scores) — skips the
     standalone score dispatch entirely.
+    as_records: return a pipeline.records.MappingRecords struct-of-arrays
+    (no per-read python objects; consumed by the native bulk SAM/VCF
+    emitters) when the device+native path can produce one; callers must
+    accept either return type.
     """
     from .. import native
     if bs_strand is None:
@@ -260,24 +273,37 @@ def run_cssw(genome: Genome, genome_rc: Genome,
     # C->T treatment is already the right one for it.
     bs_strand = ((np.asarray(bs_strand) != 0)
                  & (np.asarray(orientation) == FORWARD)).astype(np.int8)
+    as_records = as_records and records_supported()
     out = None
     if (getattr(opts, "step2_device", False) and reads.num_reads > 0
             and native.available()):
         try:
             out = _run_cssw_device(genome, genome_rc, orientation, position,
                                    chromosome_id, reads, opts, bs_strand,
-                                   pre_scores=pre_scores)
+                                   pre_scores=pre_scores,
+                                   as_records=as_records)
         except ImportError:
             pass  # no jax -> host path
     if out is None:
         out = _run_cssw_host(genome, genome_rc, orientation, position,
                              chromosome_id, reads, opts, bs_strand)
     if opts.use_quality_scores and reads.qualities is not None:
-        for aa in out:
-            q = reads.get_quality_str(aa.read_id)
-            aa.qual = (q[::-1]
-                       if orientation[aa.read_id] == REVERSE_COMPLEMENT
-                       else q)
+        from .records import MappingRecords
+        if isinstance(out, MappingRecords):
+            qm = np.zeros((out.n, out.lq), np.uint8)
+            for r in range(out.n):
+                q = reads.get_quality_str(r)
+                if orientation[r] == REVERSE_COMPLEMENT:
+                    q = q[::-1]
+                b = np.frombuffer(q.encode("latin1"), np.uint8)
+                qm[r, :len(b)] = b
+            out.qual = qm
+        else:
+            for aa in out:
+                q = reads.get_quality_str(aa.read_id)
+                aa.qual = (q[::-1]
+                           if orientation[aa.read_id] == REVERSE_COMPLEMENT
+                           else q)
     return out
 
 
@@ -376,14 +402,16 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
                      chromosome_id: np.ndarray, reads: ReadStorage,
                      opts: ProgramOptions,
                      bs_strand: Optional[np.ndarray] = None,
-                     pre_scores: Optional[np.ndarray] = None
-                     ) -> List[AlignerArguments]:
+                     pre_scores: Optional[np.ndarray] = None,
+                     as_records: bool = False):
     """Batched STEP 2: vectorized argument prep (replaces the reference's
     serial per-read loop, mappinghandler.cu:397-553), device striped-SW
     score passes (ops/swdev.py), native CIGAR-only finish.  Bit-identical
-    to _run_cssw_host."""
+    to _run_cssw_host.  as_records=True keeps everything as flat arrays
+    (MappingRecords) — no AlignerArguments objects are built."""
     from .. import native
     from ..ops import swdev
+    from .records import MappingRecords
 
     import os
     import time as _time
@@ -478,9 +506,24 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             built.append(aa)
         return built, q_ascii, rcq_ascii
 
+    def empty_records():
+        n2 = 2 * n
+        z32 = lambda k: np.zeros(k, np.int32)
+        return MappingRecords(
+            n=n, lq=lq, ws=ws, q=_B4[fwd_mat], q_len=lens32.astype(np.int32),
+            win=win, win_len=wlens.astype(np.int32),
+            position=position.astype(np.int64),
+            chrom=chromosome_id.astype(np.int32),
+            flag0=np.full(n, 0x4, np.int32), flag1=z32(n),
+            sw=z32(n2), nb=z32(n2), qb=z32(n2), conv=z32(n2),
+            cig_pool=np.zeros(0, np.uint8), cig_off=np.zeros(n2, np.int64),
+            cig_len=z32(n2))
+
     m = np.nonzero(orientation != NONE)[0]
     nm = len(m)
     if nm == 0:
+        if as_records:
+            return empty_records()
         out, q_ascii, rcq_ascii = build_out()
         _mark("aa_build")
         return out
@@ -548,6 +591,11 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
 
     als: List[Optional[sw.Alignment]] = [None] * P
     mk = sw.Alignment
+    _CIG_STRIDE = 1024
+    if as_records:
+        cl_all = np.zeros(P, np.int32)      # per-pair cigar lengths
+        flags_all = np.zeros(P, np.int32)   # per-pair s_align flags
+        raw_chunks: List[tuple] = []        # (fin, raw strided bytes, clens)
 
     def finish_range(s, e):
         """Banded CIGAR finish for pairs [s, e) (disjoint ranges, so
@@ -559,6 +607,22 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         fin = np.nonzero(~fb_r & ~dg_r)[0] + s
         nf = len(fin)
         if nf == 0:
+            return
+        if as_records:
+            raw_b, clens, _mism, flags = native.ssw_finish_batch(
+                pair_q[fin].tobytes(),
+                np.arange(nf, dtype=np.int64) * lq, pair_rl[fin],
+                pair_ref[fin].tobytes(),
+                np.arange(nf, dtype=np.int64) * ws, pair_fl[fin],
+                dev["score1"][fin], dev["ref_begin"][fin],
+                dev["ref_end"][fin], dev["query_begin"][fin],
+                dev["query_end"][fin], dev["flag"][fin],
+                threads=max(1, opts.threads), codes=True,
+                diag=dev["diag"][fin], raw=True,
+                cigar_stride=_CIG_STRIDE)
+            cl_all[fin] = clens
+            flags_all[fin] = flags
+            raw_chunks.append((fin, raw_b, clens))
             return
         cigars, mism, flags = native.ssw_finish_batch(
             pair_q[fin].tobytes(),
@@ -594,7 +658,7 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     # during the same window
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=2) as ex:
-        aa_fut = ex.submit(build_out)
+        aa_fut = None if as_records else ex.submit(build_out)
         futs = []
         if pre_scores is not None:
             _mark("device_score")
@@ -608,10 +672,22 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             _mark("device_score")
         for f in futs:
             f.result()
-        out, q_ascii, rcq_ascii = aa_fut.result()
+        if aa_fut is not None:
+            out, q_ascii, rcq_ascii = aa_fut.result()
+        else:
+            out = None
+            q_ascii = _B4[fwd_mat]
+            rcq_ascii = _B4[rcq_mat]
     fb = dev["host_fallback"]
     dg = dev["degenerate"] & ~fb
     _mark("native_finish")
+    if as_records:
+        return _assemble_records(
+            n, lq, ws, nm, m, orientation, position, chromosome_id,
+            lens, lens32, wlens, win, win_rc, q_ascii, rcq_ascii,
+            pair_q, pair_ref, pair_rl, pair_fl, pair_ml,
+            dev, fb, dg, cl_all, flags_all, raw_chunks, _CIG_STRIDE,
+            bs_strand, und, opts, _mark, _marks)
     for pi in np.nonzero(dg)[0]:
         # ssw_align's early return (score 0): score-only result
         als[pi] = sw.Alignment(
@@ -705,6 +781,124 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         rescore_alignment(aa, 0)
         rescore_alignment(aa, 1)
     return out
+
+
+def _assemble_records(n, lq, ws, nm, m, orientation, position, chromosome_id,
+                      lens, lens32, wlens, win, win_rc, q_ascii, rcq_ascii,
+                      pair_q, pair_ref, pair_rl, pair_fl, pair_ml,
+                      dev, fb, dg, cl_all, flags_all, raw_chunks, stride,
+                      bs_strand, und, opts, _mark, _marks):
+    """Records-mode tail of _run_cssw_device: patch degenerate/fallback
+    pairs, pool the CIGAR bytes, rescore natively in place, and scatter
+    the per-pair arrays into the [2n] MappingRecords layout."""
+    from .. import native
+    from .records import MappingRecords
+
+    P = 2 * nm
+    sw_pairs = np.ascontiguousarray(dev["score1"], np.int32)
+    nb_pairs = np.ascontiguousarray(dev["score2"], np.int32)
+    qb_pairs = np.ascontiguousarray(dev["query_begin"], np.int32).copy()
+    qb_pairs[dg] = -1  # ssw_align's score-0 early return (query_begin=-1)
+    fb_cigs = {}
+    for pi in np.nonzero(fb)[0]:
+        # byte saturation -> host word-mode rerun (align/sw.py:379-388)
+        q = _B5[pair_q[pi, :pair_rl[pi]]].tobytes().decode("latin1")
+        w = _B5[pair_ref[pi, :pair_fl[pi]]].tobytes().decode("latin1")
+        al = sw.ssw_align(q, w, int(pair_ml[pi]))
+        sw_pairs[pi] = al.sw_score
+        nb_pairs[pi] = al.sw_score_next_best
+        qb_pairs[pi] = al.query_begin
+        flags_all[pi] = al.flag
+        cb = al.cigar_string.encode("latin1")
+        cl_all[pi] = len(cb)
+        fb_cigs[int(pi)] = cb
+    _mark("fallback_pairs")
+
+    # pool the per-pair CIGAR bytes (strided native buffers -> compact)
+    cig_off = np.zeros(P, np.int64)
+    np.cumsum(cl_all[:-1], dtype=np.int64, out=cig_off[1:])
+    pool = np.empty(int(cig_off[-1]) + int(cl_all[-1]) if P else 0,
+                    np.uint8)
+    for fin, raw_b, clens in raw_chunks:
+        tot = int(clens.sum())
+        if tot == 0:
+            continue
+        src = np.frombuffer(raw_b, np.uint8)
+        cl64 = clens.astype(np.int64)
+        within = (np.arange(tot, dtype=np.int64)
+                  - np.repeat(np.cumsum(cl64) - cl64, cl64))
+        starts_src = np.repeat(np.arange(len(fin), dtype=np.int64) * stride,
+                               cl64)
+        starts_dst = np.repeat(cig_off[fin], cl64)
+        pool[starts_dst + within] = src[starts_src + within]
+    for pi, cb in fb_cigs.items():
+        o = int(cig_off[pi])
+        pool[o:o + len(cb)] = np.frombuffer(cb, np.uint8)
+
+    # native batched rescoring (comparefk, mappinghandler.cu:747-766):
+    # alignment h=0 rescored against rc_query, h=1 against query (the
+    # reference's `if (!h)` swap); adjusts sw/nb in place, emits conv
+    qa = np.empty((P, lq), np.uint8)
+    qa[0::2] = rcq_ascii[m]
+    qa[1::2] = q_ascii[m]
+    qa_len = np.repeat(lens[m], 2).astype(np.int32)
+    ref_rows = np.repeat(win[m], 2, axis=0)
+    rcref_rows = np.repeat(win_rc[m], 2, axis=0)
+    if und:
+        # mirrored PBAT rescore via the complement trick (rescore_alignment)
+        sp = np.repeat((bs_strand[m] != 0), 2)[:, None]
+        qa = np.where(sp, _COMPL_U8[qa], qa)
+        ref_rows = np.where(sp, _COMPL_U8[ref_rows], ref_rows)
+        rcref_rows = np.where(sp, _COMPL_U8[rcref_rows], rcref_rows)
+    wl2 = np.repeat(wlens[m], 2).astype(np.int32)
+    block = 1 << 17   # keeps int32 pool offsets safe
+    conv = np.empty(P, np.int32)
+    for b0 in range(0, P, block):
+        b1 = min(b0 + block, P)
+        nb_ = b1 - b0
+        pool_b = pool[int(cig_off[b0]):
+                      int(cig_off[b1 - 1]) + int(cl_all[b1 - 1])].tobytes()
+        conv[b0:b1] = native.rescore_batch(
+            qa[b0:b1].tobytes(),
+            np.arange(nb_, dtype=np.int64) * lq, qa_len[b0:b1],
+            ref_rows[b0:b1].tobytes(),
+            np.arange(nb_, dtype=np.int64) * ws, wl2[b0:b1],
+            rcref_rows[b0:b1].tobytes(),
+            np.arange(nb_, dtype=np.int64) * ws, wl2[b0:b1],
+            pool_b, cig_off[b0:b1] - cig_off[b0], cl_all[b0:b1],
+            sw_pairs[b0:b1], nb_pairs[b0:b1],
+            threads=max(1, opts.threads))
+    _mark("rescore")
+
+    # scatter per-pair arrays ([P] over mapped reads) into [2n]
+    idx2 = np.empty(P, np.int64)
+    idx2[0::2] = 2 * m
+    idx2[1::2] = 2 * m + 1
+    n2 = 2 * n
+    z32 = lambda: np.zeros(n2, np.int32)
+    sw2, nb2, qb2, conv2, cl2 = z32(), z32(), z32(), z32(), z32()
+    co2 = np.zeros(n2, np.int64)
+    sw2[idx2] = sw_pairs
+    nb2[idx2] = nb_pairs
+    qb2[idx2] = qb_pairs
+    conv2[idx2] = conv
+    cl2[idx2] = cl_all
+    co2[idx2] = cig_off
+    flag0 = np.zeros(n, np.int32)
+    flag1 = np.zeros(n, np.int32)
+    flag0[m] = flags_all[0::2]
+    flag1[m] = flags_all[1::2]
+    flag0[orientation == NONE] = 0x4
+    if _marks is not None:
+        for (l0, t0), (l1, t1) in zip(_marks, _marks[1:]):
+            print(f"STEP2 {l1}: {t1 - t0:.3f}s", flush=True)
+    return MappingRecords(
+        n=n, lq=lq, ws=ws, q=q_ascii, q_len=lens32.astype(np.int32),
+        win=win, win_len=wlens.astype(np.int32),
+        position=position.astype(np.int64),
+        chrom=chromosome_id.astype(np.int32),
+        flag0=flag0, flag1=flag1, sw=sw2, nb=nb2, qb=qb2, conv=conv2,
+        cig_pool=pool, cig_off=co2, cig_len=cl2)
 
 
 def print_to_sam(mappingout: List[AlignerArguments], genome: Genome,

@@ -96,13 +96,20 @@ def test_fused_pipelined_driver_sam_identical(tmp_path):
     opts.step2_pipeline_chunk = 48
     mapper = CoarseMapper(genome, opts)
 
+    from hashreadmapper_tpu.pipeline.records import MappingRecords
+
+    def as_aas(out):
+        return out.to_aas() if isinstance(out, MappingRecords) else out
+
     res_f, aas_f = _pipelined_sw(mapper, padded, store, genome, genome_rc,
                                  opts)
+    aas_f = as_aas(aas_f)
     opts.step2_device = True
     # force the unfused path by hiding the capability
     mapper.supports_fused_scores = False
     res_p, aas_p = _pipelined_sw(mapper, padded, store, genome, genome_rc,
                                  opts)
+    aas_p = as_aas(aas_p)
     np.testing.assert_array_equal(res_f.orientation, res_p.orientation)
     np.testing.assert_array_equal(res_f.position, res_p.position)
 
