@@ -165,8 +165,19 @@ def main():
     t0 = time.perf_counter()
     results3, aas = _pipelined_sw(mapper, padded, store, genome, genome_rc,
                                   opts3)
-    sam_stats = mapping.print_to_sam(aas, genome, "/tmp/bench_out.SAM")
-    mapping.do_vc(aas, genome, "/tmp/bench_out")
+    from hashreadmapper_tpu.pipeline.records import (MappingRecords,
+                                                     emit_sam, emit_vcf)
+    t_map = time.perf_counter() - t0
+    if isinstance(aas, MappingRecords):
+        sam_stats = emit_sam(aas, genome, "/tmp/bench_out.SAM", threads=4)
+        t_sam = time.perf_counter() - t0
+        emit_vcf(aas, genome, "/tmp/bench_out")
+    else:
+        sam_stats = mapping.print_to_sam(aas, genome, "/tmp/bench_out.SAM")
+        t_sam = time.perf_counter() - t0
+        mapping.do_vc(aas, genome, "/tmp/bench_out")
+    log(f"[e2e] map {t_map:.2f}s sam +{t_sam - t_map:.2f}s "
+        f"vcf +{time.perf_counter() - t0 - t_sam:.2f}s")
     t_e2e = time.perf_counter() - t0
     rps_e2e = n_reads / t_e2e
     log(f"[e2e] pipelined STEP1+2+3: {t_e2e:.2f}s ({sam_stats}); "

@@ -113,6 +113,11 @@ class ProgramOptions:
     # Pairs per device dispatch in the STEP-2 score pass (fixed shape to
     # avoid recompiles; last chunk is padded).
     step2_pair_chunk: int = 8192
+    # Banded CIGAR traceback on device (ops/bandtb.py) for pairs the all-M
+    # diag certificate does not cover; the native finish then only builds
+    # run-length entries + the =/X rewrite.  Bit-identical to the host
+    # banded DP (tests/test_bandtb.py).  False = host banded DP.
+    step2_device_traceback: bool = True
     # SHD pair compaction: average (read, candidate) pairs per read budgeted
     # for the SHD stage.  At real candidate densities most of the
     # [B, candidates_per_read_cap] grid is padding; compacting valid pairs

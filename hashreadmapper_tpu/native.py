@@ -80,6 +80,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, i32p, i32p,   # ref pool/off/len
             i32p, i32p, i32p, i32p, i32p, i32p,  # score1, rb, re, qb, qe, flag
             ctypes.c_char_p,               # diag (int8, nullable)
+            ctypes.c_char_p, ctypes.c_int,  # dev_ops pool/stride (nullable)
+            ctypes.c_char_p,               # dev_fail (int8, nullable)
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n_pairs, threads, codes
             i32p, i32p,                    # mismatches_out, flag_out
             ctypes.c_char_p, i32p, ctypes.c_int]  # cigars, lens, stride
@@ -232,7 +234,8 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
                      ref_pool: bytes, ref_off, ref_len,
                      score1, ref_begin, ref_end, query_begin, query_end,
                      flag_in, threads: int = 0, cigar_stride: int = 1024,
-                     codes: bool = False, diag=None, raw: bool = False):
+                     codes: bool = False, diag=None, raw: bool = False,
+                     dev_ops=None, dev_fail=None):
     """Banded CIGAR + =/X rewrite for device-scored pairs.
 
     All array args are int32 numpy arrays of equal length n.  With
@@ -271,13 +274,24 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
         diag_p = diag_arr.ctypes.data_as(ctypes.c_char_p)
     else:
         diag_p = None
+    if dev_ops is not None:
+        # device-walked traceback ops (ops/bandtb.py): [n, S] int8 rows of
+        # backward-order 1/2/3 codes (0-terminated); dev_fail int8 [n]
+        ops_arr = np.ascontiguousarray(dev_ops, dtype=np.int8)
+        assert ops_arr.shape[0] == n
+        ops_p = ops_arr.ctypes.data_as(ctypes.c_char_p)
+        ops_stride = int(ops_arr.shape[1])
+        fail_arr = np.ascontiguousarray(dev_fail, dtype=np.int8)
+        fail_p = fail_arr.ctypes.data_as(ctypes.c_char_p)
+    else:
+        ops_p, ops_stride, fail_p = None, 0, None
     rc = lib.hrm_ssw_finish_batch(
         query_pool, arrs[0].ctypes.data_as(i32p), arrs[1].ctypes.data_as(i32p),
         ref_pool, arrs[2].ctypes.data_as(i32p), arrs[3].ctypes.data_as(i32p),
         arrs[4].ctypes.data_as(i32p), arrs[5].ctypes.data_as(i32p),
         arrs[6].ctypes.data_as(i32p), arrs[7].ctypes.data_as(i32p),
         arrs[8].ctypes.data_as(i32p), arrs[9].ctypes.data_as(i32p),
-        diag_p, n, threads, int(codes),
+        diag_p, ops_p, ops_stride, fail_p, n, threads, int(codes),
         mism.ctypes.data_as(i32p), flags.ctypes.data_as(i32p),
         cigars_buf, clens.ctypes.data_as(i32p), cigar_stride)
     if rc != 0:

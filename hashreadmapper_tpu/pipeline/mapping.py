@@ -388,6 +388,7 @@ def _run_cssw_host(genome: Genome, genome_rc: Genome,
     return out
 
 
+_BANDTB_CHUNK = 4096   # pairs per device banded-traceback dispatch
 _B4 = np.frombuffer(b"ACGT", dtype=np.uint8)
 _B5 = np.frombuffer(b"ACGTN", dtype=np.uint8)
 _COMPL_U8 = np.arange(256, dtype=np.uint8)
@@ -562,6 +563,52 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     dev["host_fallback"] = np.empty(P, bool)
     dev["degenerate"] = np.empty(P, bool)
     dev["diag"] = np.empty(P, bool)
+
+    # device banded traceback (ops/bandtb.py): pairs not covered by the
+    # all-M diag certificate get their CIGAR walk computed on device; the
+    # native finish then only does the run-length build + =/X rewrite
+    # (reference's banded_sw, ssw.c:550-790, runs per-pair on the host CPU)
+    use_tb = bool(getattr(opts, "step2_device_traceback", True))
+    S_ops = lq + ws - 1
+    ops_all = np.zeros((P, S_ops), np.int8) if use_tb else None
+    fail_all = np.zeros(P, np.int8) if use_tb else None
+
+    def tb_dispatch(s, e):
+        """Enqueue banded-traceback chunks for pairs [s, e) that need the
+        DP (uncertified, non-fallback, non-degenerate).  Fixed-size padded
+        chunks keep the jit shape count bounded."""
+        if not use_tb:
+            return None
+        from ..ops import bandtb
+        need = (~dev["diag"][s:e] & ~dev["host_fallback"][s:e]
+                & ~dev["degenerate"][s:e])
+        idx = np.nonzero(need)[0] + s
+        if len(idx) == 0:
+            return []
+        C = (_BANDTB_CHUNK if len(idx) > _BANDTB_CHUNK
+             else max(128, 1 << (len(idx) - 1).bit_length()))
+        out = []
+        for c0 in range(0, len(idx), C):
+            sub = idx[c0:c0 + C]
+            pad = C - len(sub)
+            subp = (np.concatenate([sub, np.repeat(sub[-1:], pad)])
+                    if pad else sub)
+            out.append((sub, bandtb.banded_traceback_dispatch(
+                pair_q[subp], dev["query_begin"][subp],
+                dev["query_end"][subp], pair_ref[subp],
+                dev["ref_begin"][subp], dev["ref_end"][subp],
+                dev["score1"][subp])))
+        return out
+
+    def tb_collect(handles):
+        if not handles:
+            return
+        from ..ops import bandtb
+        for sub, h in handles:
+            ops, fail = bandtb.banded_traceback_collect(h)
+            ops_all[sub] = ops[:len(sub)]
+            fail_all[sub] = fail[:len(sub)].astype(np.int8)
+
     pending = []
     if pre_scores is not None:
         # fused path: the coarse step already scored every (read x 2)
@@ -578,6 +625,7 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         dev["host_fallback"] = sp[8] != 0
         dev["degenerate"] = (sp[0] == 0) | (sp[1] < 0)
         dev["diag"] = sp[9] != 0
+        tb_fused = tb_dispatch(0, P)
     else:
         for s in range(0, P, chunk):
             e = min(s + chunk, P)
@@ -608,6 +656,8 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         nf = len(fin)
         if nf == 0:
             return
+        tb_kw = (dict(dev_ops=ops_all[fin], dev_fail=fail_all[fin])
+                 if use_tb else {})
         if as_records:
             raw_b, clens, _mism, flags = native.ssw_finish_batch(
                 pair_q[fin].tobytes(),
@@ -619,7 +669,7 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
                 dev["query_end"][fin], dev["flag"][fin],
                 threads=max(1, opts.threads), codes=True,
                 diag=dev["diag"][fin], raw=True,
-                cigar_stride=_CIG_STRIDE)
+                cigar_stride=_CIG_STRIDE, **tb_kw)
             cl_all[fin] = clens
             flags_all[fin] = flags
             raw_chunks.append((fin, raw_b, clens))
@@ -633,7 +683,7 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             dev["ref_end"][fin], dev["query_begin"][fin],
             dev["query_end"][fin], dev["flag"][fin],
             threads=max(1, opts.threads), codes=True,
-            diag=dev["diag"][fin])
+            diag=dev["diag"][fin], **tb_kw)
         mism_l = mism.tolist()
         flags_l = flags.tolist()
         s1l = dev["score1"][fin].tolist()
@@ -662,14 +712,21 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         futs = []
         if pre_scores is not None:
             _mark("device_score")
+            tb_collect(tb_fused)
+            _mark("bandtb")
             finish_range(0, P)
         else:
+            tb_pend = []
             for s, e, packed_dev in pending:
                 res = swdev.ssw_score_collect(packed_dev)
                 for k in dev:
                     dev[k][s:e] = res[k][:e - s]
-                futs.append(ex.submit(finish_range, s, e))
+                tb_pend.append((s, e, tb_dispatch(s, e)))
             _mark("device_score")
+            for s, e, handles in tb_pend:
+                tb_collect(handles)
+                futs.append(ex.submit(finish_range, s, e))
+            _mark("bandtb")
         for f in futs:
             f.result()
         if aa_fut is not None:

@@ -332,7 +332,9 @@ static void finish_alignment(const int8_t* read, const int8_t* ref_t,
                              int gap_open, int gap_extend,
                              int match_s, int mismatch_s,
                              int32_t* flag_out, int32_t* mismatches_out,
-                             std::string* cig_out, int diag_certified) {
+                             std::string* cig_out, int diag_certified,
+                             const int8_t* dev_ops = nullptr,
+                             int dev_ops_len = 0, int dev_fail = 0) {
     *flag_out = flag_in;
     *mismatches_out = 0;
     cig_out->clear();
@@ -344,6 +346,33 @@ static void finish_alignment(const int8_t* read, const int8_t* ref_t,
         // banded DP is skipped entirely and only the =/X rewrite below runs.
         entries.clear();
         entries.push_back({query_end - query_begin + 1, 'M'});
+    } else if (dev_ops) {
+        // device-walked traceback (ops/bandtb.py): backward-order op codes
+        // 1=M 2=I 3=D, 0-terminated.  dev_fail mirrors the oracle's
+        // traceback failure (left the band / zero direction).
+        if (dev_fail) {
+            *flag_out = 1;
+            return;
+        }
+        // identical run-length construction to the walk below (ops is the
+        // backward string; final entry merges the implicit corner M)
+        entries.clear();
+        int n_ops = 0;
+        while (n_ops < dev_ops_len && dev_ops[n_ops]) n_ops++;
+        static const char kOp[4] = {'?', 'M', 'I', 'D'};
+        if (n_ops == 0) {
+            entries.push_back({1, 'M'});
+        } else {
+            int cnt = 1;
+            for (int t = 1; t < n_ops; t++) {
+                if (dev_ops[t] == dev_ops[t - 1]) cnt++;
+                else { entries.push_back({cnt, kOp[dev_ops[t - 1]]}); cnt = 1; }
+            }
+            char last = kOp[(int)dev_ops[n_ops - 1]];
+            if (last == 'M') entries.push_back({cnt + 1, 'M'});
+            else { entries.push_back({cnt, last}); entries.push_back({1, 'M'}); }
+        }
+        std::reverse(entries.begin(), entries.end());
     } else if (!banded_cigar(read + query_begin,
                              query_end - query_begin + 1,
                              ref_t + ref_begin, ref_end - ref_begin + 1,
@@ -500,6 +529,8 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                          const int32_t* ref_end, const int32_t* query_begin,
                          const int32_t* query_end, const int32_t* flag_in,
                          const int8_t* diag,
+                         const int8_t* dev_ops, int dev_ops_stride,
+                         const int8_t* dev_fail,
                          int n_pairs, int n_threads, int codes_in,
                          int32_t* mismatches_out, int32_t* flag_out,
                          char* cigar_pool, int32_t* cigar_len_out,
@@ -557,6 +588,8 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                          const int32_t* ref_end, const int32_t* query_begin,
                          const int32_t* query_end, const int32_t* flag_in,
                          const int8_t* diag,
+                         const int8_t* dev_ops, int dev_ops_stride,
+                         const int8_t* dev_fail,
                          int n_pairs, int n_threads, int codes_in,
                          int32_t* mismatches_out, int32_t* flag_out,
                          char* cigar_pool, int32_t* cigar_len_out,
@@ -594,7 +627,10 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                              ref_end[i], query_begin[i], query_end[i],
                              flag_in[i], gap_open, gap_extend, match_s,
                              mismatch_s, &flag_out[i], &mismatches_out[i],
-                             &cig, diag ? diag[i] : 0);
+                             &cig, diag ? diag[i] : 0,
+                             dev_ops ? dev_ops + (size_t)i * dev_ops_stride
+                                     : nullptr,
+                             dev_ops_stride, dev_fail ? dev_fail[i] : 0);
             cigar_len_out[i] = (int32_t)cig.size();
             if ((int)cig.size() + 1 > cigar_stride) { err.store(1); continue; }
             std::memcpy(cigar_pool + (size_t)i * cigar_stride, cig.c_str(),
