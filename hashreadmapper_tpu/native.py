@@ -80,8 +80,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, i32p, i32p,   # ref pool/off/len
             i32p, i32p, i32p, i32p, i32p, i32p,  # score1, rb, re, qb, qe, flag
             ctypes.c_char_p,               # diag (int8, nullable)
-            ctypes.c_char_p, ctypes.c_int,  # dev_ops pool/stride (nullable)
-            ctypes.c_char_p,               # dev_fail (int8, nullable)
+            ctypes.POINTER(ctypes.c_int16),  # dev_ops RLE pool (nullable)
+            ctypes.c_int,                  # dev_ops stride (elements)
+            ctypes.c_char_p,               # dev_fail (int8 0/1/2, nullable)
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n_pairs, threads, codes
             i32p, i32p,                    # mismatches_out, flag_out
             ctypes.c_char_p, i32p, ctypes.c_int]  # cigars, lens, stride
@@ -275,11 +276,13 @@ def ssw_finish_batch(query_pool: bytes, query_off, query_len,
     else:
         diag_p = None
     if dev_ops is not None:
-        # device-walked traceback ops (ops/bandtb.py): [n, S] int8 rows of
-        # backward-order 1/2/3 codes (0-terminated); dev_fail int8 [n]
-        ops_arr = np.ascontiguousarray(dev_ops, dtype=np.int8)
+        # device-walked traceback (ops/bandtb.py): [n, S] int16 rows of
+        # backward-order run-length entries (op | len << 2, 0-terminated);
+        # dev_fail int8 [n]: 0 ops valid, 1 oracle traceback failure,
+        # 2 entry budget overflow -> host banded DP
+        ops_arr = np.ascontiguousarray(dev_ops, dtype=np.int16)
         assert ops_arr.shape[0] == n
-        ops_p = ops_arr.ctypes.data_as(ctypes.c_char_p)
+        ops_p = ops_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
         ops_stride = int(ops_arr.shape[1])
         fail_arr = np.ascontiguousarray(dev_fail, dtype=np.int8)
         fail_p = fail_arr.ctypes.data_as(ctypes.c_char_p)

@@ -6,10 +6,10 @@ src/gpu/mappinghandler.cu:560-595; host oracle align/sw.py::_banded_cigar,
 golden-verified, re-derived natively in native/swalign.cpp::banded_cigar).
 This was the last remaining host DP: ~50% of pairs are not covered by the
 all-M diag certificate (ops/swdev.py::_diag_fastpath_flag) and paid ~18
-ns/cell on the host.  Here the band fill runs as a lane-parallel scan on
-the TPU and the traceback pointer walk runs on device too, so the host
-only converts the returned op codes into run-length CIGAR entries and
-does the =/X rewrite (native/swalign.cpp::finish_alignment).
+ns/cell on the host.  Here the band fill runs as a lane-parallel kernel on
+the TPU and the traceback walk consumes whole CIGAR RUNS per step, so the
+host only merges the returned run-length entries and does the =/X rewrite
+(native/swalign.cpp::finish_alignment).
 
 Reformulation notes (per DP row i over ref lanes j, band
 [beg, endj] = [max(0, i-bw), min(r-1, i+bw)]):
@@ -21,14 +21,24 @@ Reformulation notes (per DP row i over ref lanes j, band
     a max-plus prefix scan along the lane axis:
         f_j = max(cummax(u_k + k*ge)[j] - j*ge, (beg-1-j)*ge)
     with u_k = max(a_{k-1}, 0) - go and the second term the f=0 row seed.
-  * direction bits replicate the oracle's exact tie rules
-    (t1 > t2 for E/F, t1 <= t2 preferring the diagonal for H) and are
-    packed 5 bits/cell: de | df<<1 | dh<<2 (dh in 1..5, 0 = out of band).
+  * direction tie rules replicate the oracle exactly (t1 > t2 for E/F,
+    t1 <= t2 preferring the diagonal for H).
+  * run-length encoding: the traceback only ever READS cells in the H
+    layer — an E/F excursion is a maximal run of I/D steps whose length
+    is a pure function of the de/df bit chains — so the fill precomputes
+    per cell the FULL run the walk would take from it:
+        dh==1: diagonal M-run  D2[i,j] = 1 + D2[i-1,j-1]   (while dh==1)
+        dh==2: I-run 1 + J[i-1,j],  J = de==0 ? 1 + J_up : 1  (vertical)
+        dh==3: I-run 1            dh==5: D-run 1
+        dh==4: D-run 1 + K[i,j-1], K = df==0 ? 1 + K_left : 1 (in-row)
+    packed per cell as int16 (dh in bits 0..2, run length in bits 3..14;
+    0 = out of band / run crosses the band = the oracle's traceback
+    failure).  The walk then emits one (op, len) entry per gather — a few
+    entries per pair instead of one step per CIGAR base.
   * band doubling (double while best < score1 and 2*bw <= max_len) runs
-    as a device while_loop of score-only passes; one direction-emitting
-    pass then runs at the final per-pair band, and a fixed-length scan
-    walks the pointers for all pairs in lock-step (layer automaton with
-    the oracle's out-of-band/zero-direction failure semantics).
+    as a FIXED-length scan of passes (a while_loop's any(~done) cond
+    costs more than a full extra pass on this backend); done pairs keep
+    their bw so extra passes recompute final results and change nothing.
 
 Monotonicity argument used for the doubling loop (why per-pass best at
 the final band equals the oracle's best accumulated across passes):
@@ -57,8 +67,12 @@ MISMATCH = 2
 
 _BIG = np.int32(0x3FFFFFFF)  # np not jnp: module-level jnp constants
 # initialize the backend at import time (see ops/swdev.py)
+_POISON = np.int32(-4096)    # run crossed the band -> oracle fails
 
-_BP = 128   # pairs per Pallas program (the lane axis)
+_BP = 128       # pairs per Pallas program (the lane axis)
+N_ENTRIES = 64  # walk entries per pair; overflow -> host banded_cigar
+# walk result codes (ops int16: dh-op in bits 0..1, run length in 2..14)
+OP_M, OP_I, OP_D = 1, 2, 3
 
 
 def _shift_sub(codes_t, begin, size):
@@ -80,186 +94,239 @@ def _shift_sub(codes_t, begin, size):
     return x[:size]
 
 
-def _fill_pass(read_t, sub_ref, m, r, bw, m_max: int, emit_dirs: bool):
-    """One banded DP pass at band width bw (all [P] data args).
+def _row_core(h_up, e_up, d2_up, j_up, read_i, sub_ref, s_valid, i, m, r,
+              bw, j_l, sdj, n_lanes: int, emit_dirs: bool = True):
+    """Shared single-row recurrence (both the XLA scan and the Pallas
+    kernel call this with their own shift primitive `sdj`).
 
-    read_t [m_max, P] subregion read codes, sub_ref [P, NL] subregion ref
-    codes.  Returns (best [P], dirs [m_max, P, NL] int8 or None)."""
-    P = sub_ref.shape[0]
-    NL = sub_ref.shape[1]
-    j_l = jax.lax.broadcasted_iota(jnp.int32, (P, NL), 1)
-    r_1 = (r - 1)[:, None]
-    bw_c = bw[:, None]
-    s_ref_valid = sub_ref < 4
+    h_up/e_up carries are masked to 0 outside the previous row's band;
+    d2_up to 0; j_up holds _POISON outside it (and 0 before row 0, so a
+    top-exiting I-run stays legitimate).  read_i broadcastable to the
+    cell grid.  Returns (h, e_cur, d2, jj, packed16, ok)."""
+    beg = jnp.maximum(0, i - bw)
+    inb = (j_l >= beg) & (j_l <= jnp.minimum(r - 1, i + bw))
+    row_act = i < m
+    in_up = j_l <= (i - 1 + bw)
+    hu = jnp.where(in_up, h_up, 0)
+    eu = jnp.where(in_up, e_up, 0)
+    t1e = hu - GAP_OPEN
+    t2e = eu - GAP_EXTEND
+    e_cur = jnp.maximum(t1e, t2e)
+    e1 = jnp.maximum(e_cur, 0)
+    at_beg = j_l == beg
+    hd = jnp.where(at_beg, 0, sdj(h_up, 1, jnp.int32(0)))
+    s = jnp.where((sub_ref == read_i) & s_valid, MATCH, -MISMATCH)
+    t2 = hd + s
+    a = jnp.maximum(e1, t2)
+    am1 = jnp.where(at_beg, 0, sdj(a, 1, jnp.int32(0)))
+    v = jnp.where(inb, jnp.maximum(am1, 0) - GAP_OPEN + j_l, -_BIG)
+    run = v
+    k = 1
+    while k < n_lanes:
+        run = jnp.maximum(run, sdj(run, k, -_BIG))
+        k *= 2
+    f = jnp.maximum(run - j_l, beg - 1 - j_l)
+    f1 = jnp.maximum(f, 0)
+    h = jnp.maximum(a, f1)
+    ok = inb & row_act
+    if not emit_dirs:
+        # score-only doubling pass: no directions, no run chains
+        zero = jnp.zeros_like(h)
+        return (jnp.where(ok, h, 0), jnp.where(ok, e_cur, 0),
+                zero, zero, zero.astype(jnp.int16), ok)
 
-    def row(carry, xs):
-        h_up, e_up, best = carry
-        read_i, i = xs
-        beg = jnp.maximum(0, i - bw_c)
-        endj = jnp.minimum(r_1, i + bw_c)
-        inb = (j_l >= beg) & (j_l <= endj)
-        row_act = (i < m)[:, None]
-        in_up = j_l <= (i - 1 + bw_c)
-        hu = jnp.where(in_up, h_up, 0)
-        eu = jnp.where(in_up, e_up, 0)
-        t1e = hu - GAP_OPEN
-        t2e = eu - GAP_EXTEND
-        e_cur = jnp.maximum(t1e, t2e)
-        e1 = jnp.maximum(e_cur, 0)
-        # h_diag = h_up[j-1], 0 at j == beg
-        hd = jnp.where(j_l == beg, 0,
-                       jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
-                                        h_up[:, :-1]], axis=1))
-        s = jnp.where((sub_ref == read_i[:, None]) & s_ref_valid,
-                      MATCH, -MISMATCH)
-        t2 = hd + s
-        a = jnp.maximum(e1, t2)
-        # F max-plus prefix scan (gap_extend == 1)
-        am1 = jnp.where(j_l == beg, 0,
-                        jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
-                                         a[:, :-1]], axis=1))
-        u = jnp.maximum(am1, 0) - GAP_OPEN
-        v = jnp.where(inb, u + j_l, -_BIG)
-        run = jax.lax.cummax(v, axis=1)
-        f = jnp.maximum(run - j_l, beg - 1 - j_l)
-        f1 = jnp.maximum(f, 0)
-        h = jnp.maximum(a, f1)
-        ok = inb & row_act
-        best = jnp.maximum(best, jnp.max(jnp.where(ok, h, 0), axis=1))
-        h_out = jnp.where(ok, h, 0)
-        e_out = jnp.where(ok, e_cur, 0)
-        if not emit_dirs:
-            return (h_out, e_out, best), jnp.int32(0)
-        de = (t1e > t2e).astype(jnp.int32)
-        hm1 = jnp.where(j_l == beg, 0,
-                        jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
-                                         h[:, :-1]], axis=1))
-        fm1 = jnp.where(j_l == beg, 0,
-                        jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
-                                         f[:, :-1]], axis=1))
-        df = (hm1 - GAP_OPEN > fm1 - GAP_EXTEND).astype(jnp.int32)
-        t1h = jnp.maximum(e1, f1)
-        dh = jnp.where(t1h <= t2, 1,
-                       jnp.where(e1 > f1, 2 + de, 4 + df))
-        packed = jnp.where(ok, de | (df << 1) | (dh << 2), 0)
-        return (h_out, e_out, best), packed.astype(jnp.int8)
+    de = (t1e > t2e).astype(jnp.int32)
+    hm1 = jnp.where(at_beg, 0, sdj(h, 1, jnp.int32(0)))
+    fm1 = jnp.where(at_beg, 0, sdj(f, 1, jnp.int32(0)))
+    df = (hm1 - GAP_OPEN > fm1 - GAP_EXTEND).astype(jnp.int32)
+    t1h = jnp.maximum(e1, f1)
+    dh = jnp.where(t1h <= t2, 1, jnp.where(e1 > f1, 2 + de, 4 + df))
 
-    init = (jnp.zeros((P, NL), jnp.int32), jnp.zeros((P, NL), jnp.int32),
-            jnp.zeros((P,), jnp.int32))
-    xs = (read_t[:m_max], jnp.arange(m_max, dtype=jnp.int32)[:, None])
-    (_, _, best), dirs = jax.lax.scan(row, init, xs)
-    return best, (dirs if emit_dirs else None)
+    # M-run: diagonal chain of dh==1 cells.  The diagonal preserves j-i,
+    # so it can never leave the band mid-run (no poison needed).
+    d2_diag = jnp.where(at_beg, 0, sdj(d2_up, 1, jnp.int32(0)))
+    d2 = jnp.where(dh == 1, 1 + jnp.maximum(d2_diag, 0), 0)
+    # I-run vertical chain: J = de==0 ? 1 + J_up : 1.  j_up is _POISON
+    # outside the previous band (the oracle's walk fails on leaving the
+    # band) and 0 above row 0 (a top exit is a normal loop exit, and the
+    # i+1 cap in the walk trims the run there anyway).
+    jj = jnp.where(de == 0, 1 + j_up, 1)
+    jj = jnp.where(inb, jj, _POISON)
+    # D-run horizontal chain: K[j] = df==0 ? 1 + K[j-1] : 1.
+    # K[j] = j - Z[j] + 1 with Z = doubled position of the last df==1 at
+    # or before j.  At the band begin: beg > 0 crossing = oracle failure,
+    # marked with the ODD value 2*beg-1 (poisons until the next real
+    # df==1 resets the cummax); beg == 0 is the walk's normal j==0 exit,
+    # marked with the even 0 (acts as a virtual reset giving K = j + 1,
+    # which the walk's j cap trims to the exact step count).
+    w = jnp.where(df == 1, 2 * j_l, -_BIG)
+    w = jnp.where(at_beg & (df == 0),
+                  jnp.where(beg > 0, 2 * j_l - 1, 0), w)
+    w = jnp.where(inb, w, -_BIG)
+    z = w
+    k = 1
+    while k < n_lanes:
+        z = jnp.maximum(z, sdj(z, k, -_BIG))
+        k *= 2
+    kk = jnp.where((z & 1) == 1, _POISON, j_l - (z >> 1) + 1)
+    # full run length the walk takes from this cell, by dh
+    km1 = jnp.where(at_beg, _POISON, sdj(kk, 1, _POISON))
+    rl = jnp.where(dh == 1, d2,
+                   jnp.where(dh == 2, 1 + j_up,
+                             jnp.where(dh == 4, 1 + km1, 1)))
+    rl = jnp.clip(rl, 0, (1 << 12) - 1)
+    packed = jnp.where(ok & (rl > 0), dh | (rl << 3), 0)
+    return (jnp.where(ok, h, 0), jnp.where(ok, e_cur, 0),
+            jnp.where(ok, d2, 0), jnp.where(ok, jj, _POISON),
+            packed, ok)
 
 
-def _sdj(x, k, fill):
-    """Sublane shift: out[j] = x[j-k] (head filled) — the j-1 reads and
-    the cummax doubling steps of the row recurrence."""
+def _sdj_rows(x, k, fill):
+    """Sublane/row shift: out[j] = x[j-k] (head filled)."""
     return jnp.concatenate(
         [jnp.full((k,) + x.shape[1:], fill, x.dtype), x[:-k]], axis=0)
 
 
-def _fill_kernel(read_ref, ref_ref, m_ref, r_ref, bw_ref,
-                 dirs_ref, best_ref, h_ref, e_ref, *, m_max: int):
+def _sdj_lanes(x, k, fill):
+    """Lane-axis (axis 1) shift for the XLA [P, NL] layout."""
+    return jnp.concatenate(
+        [jnp.full(x.shape[:1] + (k,), fill, x.dtype), x[:, :-k]], axis=1)
+
+
+def _fill_pass(read_t, sub_ref, m, r, bw, m_max: int, emit_dirs: bool):
+    """One banded DP pass at band width bw — XLA scan formulation
+    (CPU / interpret path; the TPU path is the Pallas kernel below).
+
+    read_t [m_max, P] subregion read codes, sub_ref [P, NL] subregion ref
+    codes.  Returns (best [P], packed [m_max, P, NL] int16 or None)."""
+    P = sub_ref.shape[0]
+    NL = sub_ref.shape[1]
+    j_l = jax.lax.broadcasted_iota(jnp.int32, (P, NL), 1)
+    s_valid = sub_ref < 4
+
+    def row(carry, xs):
+        h_up, e_up, d2_up, j_up, best = carry
+        read_i, i = xs
+        h, e, d2, jj, packed, ok = _row_core(
+            h_up, e_up, d2_up, j_up, read_i[:, None], sub_ref, s_valid,
+            i, m[:, None], r[:, None], bw[:, None], j_l, _sdj_lanes, NL,
+            emit_dirs)
+        best = jnp.maximum(best, jnp.max(jnp.where(ok, h, 0), axis=1))
+        ys = packed.astype(jnp.int16) if emit_dirs else jnp.int32(0)
+        return (h, e, d2, jj, best), ys
+
+    z = jnp.zeros((P, NL), jnp.int32)
+    init = (z, z, z, z, jnp.zeros((P,), jnp.int32))
+    xs = (read_t[:m_max], jnp.arange(m_max, dtype=jnp.int32)[:, None])
+    (_, _, _, _, best), dirs = jax.lax.scan(row, init, xs)
+    return best, (dirs if emit_dirs else None)
+
+
+def _fill_kernel(read_ref, ref_ref, m_ref, r_ref, bw_ref, done_ref,
+                 *refs, m_max: int, emit_dirs: bool):
     """One banded DP pass for a block of _BP pairs; ref positions j ride
     the sublane axis (shift-friendly), pairs ride the 128 lanes.  The
-    whole row loop lives in-kernel with the h/e carry in VMEM scratch —
-    the XLA scan formulation (_fill_pass) pays ~0.7 ms/row of per-step
-    overhead for the same arithmetic."""
+    whole row loop lives in-kernel with the carries in VMEM scratch.
+    Blocks whose pairs are all done skip everything (their best output
+    is left unwritten — the caller's done mask gates its use)."""
+    if emit_dirs:
+        dirs_ref, best_ref = refs[0], refs[1]
+        scratch = refs[2:]
+    else:
+        dirs_ref, best_ref = None, refs[0]
+        scratch = refs[1:]
+    h_ref, e_ref, d2_ref, j_ref = scratch
     NL = ref_ref.shape[0]
     m = m_ref[...]                                        # [1, BP]
     r = r_ref[...]
     bw = bw_ref[...]
-    ref = ref_ref[...]                                    # [NL, BP]
-    j = jax.lax.broadcasted_iota(jnp.int32, (NL, 1), 0)
-    r_1 = r - 1
-    s_valid = ref < 4
-    h_ref[...] = jnp.zeros_like(h_ref)
-    e_ref[...] = jnp.zeros_like(e_ref)
 
-    def row(i, best):
-        h_up = h_ref[...]
-        e_up = e_ref[...]
-        beg = jnp.maximum(0, i - bw)                      # [1, BP]
-        inb = (j >= beg) & (j <= jnp.minimum(r_1, i + bw))
-        row_act = i < m                                   # [1, BP]
-        in_up = j <= (i - 1 + bw)
-        hu = jnp.where(in_up, h_up, 0)
-        eu = jnp.where(in_up, e_up, 0)
-        t1e = hu - GAP_OPEN
-        t2e = eu - GAP_EXTEND
-        e_cur = jnp.maximum(t1e, t2e)
-        e1 = jnp.maximum(e_cur, 0)
-        at_beg = j == beg
-        hd = jnp.where(at_beg, 0, _sdj(h_up, 1, jnp.int32(0)))
-        read_i = read_ref[pl.ds(i, 1), :]                 # [1, BP]
-        s = jnp.where((ref == read_i) & s_valid, MATCH, -MISMATCH)
-        t2 = hd + s
-        a = jnp.maximum(e1, t2)
-        am1 = jnp.where(at_beg, 0, _sdj(a, 1, jnp.int32(0)))
-        v = jnp.where(inb, jnp.maximum(am1, 0) - GAP_OPEN + j, -_BIG)
-        k = 1
-        while k < NL:
-            v = jnp.maximum(v, _sdj(v, k, -_BIG))
-            k *= 2
-        f = jnp.maximum(v - j, beg - 1 - j)
-        f1 = jnp.maximum(f, 0)
-        h = jnp.maximum(a, f1)
-        ok = inb & row_act
-        best = jnp.maximum(best,
-                           jnp.max(jnp.where(ok, h, 0), axis=0,
-                                   keepdims=True))
-        h_ref[...] = jnp.where(ok, h, 0)
-        e_ref[...] = jnp.where(ok, e_cur, 0)
-        de = (t1e > t2e).astype(jnp.int32)
-        hm1 = jnp.where(at_beg, 0, _sdj(h, 1, jnp.int32(0)))
-        fm1 = jnp.where(at_beg, 0, _sdj(f, 1, jnp.int32(0)))
-        df = (hm1 - GAP_OPEN > fm1 - GAP_EXTEND).astype(jnp.int32)
-        t1h = jnp.maximum(e1, f1)
-        dh = jnp.where(t1h <= t2, 1,
-                       jnp.where(e1 > f1, 2 + de, 4 + df))
-        packed = jnp.where(ok, de | (df << 1) | (dh << 2), 0)
-        dirs_ref[pl.ds(i, 1), :, :] = packed.astype(jnp.int8)[None]
-        return best
+    @pl.when(jnp.any(done_ref[...] == 0))
+    def _():
+        ref = ref_ref[...]                                # [NL, BP]
+        j_l = jax.lax.broadcasted_iota(jnp.int32, (NL, 1), 0)
+        s_valid = ref < 4
+        h_ref[...] = jnp.zeros_like(h_ref)
+        e_ref[...] = jnp.zeros_like(e_ref)
+        d2_ref[...] = jnp.zeros_like(d2_ref)
+        j_ref[...] = jnp.zeros_like(j_ref)
 
-    best = jax.lax.fori_loop(
-        0, m_max, row, jnp.zeros((1, ref.shape[1]), jnp.int32))
-    best_ref[...] = best
+        def row(i, best):
+            read_i = read_ref[pl.ds(i, 1), :]             # [1, BP]
+            h, e, d2, jj, packed, ok = _row_core(
+                h_ref[...], e_ref[...], d2_ref[...], j_ref[...],
+                read_i, ref, s_valid, i, m, r, bw, j_l, _sdj_rows, NL,
+                emit_dirs)
+            best = jnp.maximum(
+                best, jnp.max(jnp.where(ok, h, 0), axis=0, keepdims=True))
+            h_ref[...] = h
+            e_ref[...] = e
+            if emit_dirs:
+                d2_ref[...] = d2
+                j_ref[...] = jj
+                dirs_ref[pl.ds(i, 1), :, :] = packed[None]
+            return best
+
+        # rows past the block's longest subregion write nothing a walk
+        # can reach (i only decreases from m-1); stop the loop there
+        best = jax.lax.fori_loop(
+            0, jnp.minimum(jnp.max(m), m_max), row,
+            jnp.zeros((1, ref.shape[1]), jnp.int32))
+        best_ref[...] = best
+        if emit_dirs:
+            # rows >= the block's longest subregion stay zeroed so a
+            # misdirected gather reads "out of band" (the buffer is fresh
+            # every pass; zero = the oracle's failure sentinel)
+            @pl.when(jnp.max(m) < m_max)
+            def _():
+                z = jnp.zeros((1,) + dirs_ref.shape[1:], jnp.int16)
+
+                def clear(i, c):
+                    dirs_ref[pl.ds(i, 1), :, :] = z
+                    return c
+
+                jax.lax.fori_loop(jnp.max(m), m_max, clear, 0)
 
 
-def _fill_pallas(read_t, ref_t, m, r, bw, m_max: int):
+def _fill_pallas(read_t, ref_t, m, r, bw, done, m_max: int,
+                 emit_dirs: bool):
     """Pallas dispatch of one banded pass (TPU path).  read_t [m_max, P],
-    ref_t [NL, P], P a multiple of _BP.  Returns (best [P],
-    dirs [m_max, NL, P] int8)."""
+    ref_t [NL, P], P a multiple of _BP.  Returns (best [1, P],
+    dirs [m_max, NL, P] int16 or None)."""
     NL, P = ref_t.shape
     assert P % _BP == 0
     row1 = lambda a: a.astype(jnp.int32).reshape(1, P)
-    dirs, best = pl.pallas_call(
-        partial(_fill_kernel, m_max=m_max),
+    blk = lambda: pl.BlockSpec((1, _BP), lambda g: (0, g))
+    out_specs = [blk()]
+    out_shape = [jax.ShapeDtypeStruct((1, P), jnp.int32)]
+    if emit_dirs:
+        out_specs = [pl.BlockSpec((m_max, NL, _BP), lambda g: (0, 0, g))] \
+            + out_specs
+        out_shape = [jax.ShapeDtypeStruct((m_max, NL, P), jnp.int16)] \
+            + out_shape
+    out = pl.pallas_call(
+        partial(_fill_kernel, m_max=m_max, emit_dirs=emit_dirs),
         grid=(P // _BP,),
         in_specs=[
             pl.BlockSpec((m_max, _BP), lambda g: (0, g)),
             pl.BlockSpec((NL, _BP), lambda g: (0, g)),
-            pl.BlockSpec((1, _BP), lambda g: (0, g)),
-            pl.BlockSpec((1, _BP), lambda g: (0, g)),
-            pl.BlockSpec((1, _BP), lambda g: (0, g)),
+            blk(), blk(), blk(), blk(),
         ],
-        out_specs=[
-            pl.BlockSpec((m_max, NL, _BP), lambda g: (0, 0, g)),
-            pl.BlockSpec((1, _BP), lambda g: (0, g)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m_max, NL, P), jnp.int8),
-            jax.ShapeDtypeStruct((1, P), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((NL, _BP), jnp.int32),
+                        pltpu.VMEM((NL, _BP), jnp.int32),
+                        pltpu.VMEM((NL, _BP), jnp.int32),
                         pltpu.VMEM((NL, _BP), jnp.int32)],
-    )(read_t, ref_t, row1(m), row1(r), row1(bw))
-    return best[0], dirs
+    )(read_t, ref_t, row1(m), row1(r), row1(bw), row1(done))
+    if emit_dirs:
+        return out[1][0], out[0]
+    return out[0][0], None
 
 
-@partial(jax.jit, static_argnames=("m_max", "n_steps", "use_pallas"))
+@partial(jax.jit, static_argnames=("m_max", "n_entries", "use_pallas"))
 def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
-                   ref_begin, ref_end, score1, m_max: int, n_steps: int,
+                   ref_begin, ref_end, score1, m_max: int, n_entries: int,
                    use_pallas: bool = False):
     LQ = read_codes.shape[1]
     P = read_codes.shape[0]
@@ -276,94 +343,89 @@ def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
 
     max_len = jnp.maximum(m, r)
     bw0 = jnp.abs(r - m) + 1
+    # band doubling as a FIXED-length scan: bw doubles at most
+    # ceil(log2(max_len)) + 1 times before 2*bw > max_len stops it
+    n_passes = max(1, (max(m_max, NL) - 1).bit_length() + 1)
 
     if use_pallas:
-        # band doubling as a FIXED-length scan (a while_loop's any(~done)
-        # cond costs ~7 ms/iteration on this backend; a full Pallas pass
-        # costs 0.5 ms, so always running the worst-case pass count is far
-        # cheaper).  bw doubles at most ceil(log2(max_len)) + 1 times
-        # before 2*bw > max_len stops it; done pairs keep their bw, so the
-        # extra passes recompute already-final results and change nothing.
-        n_passes = max(1, (max(m_max, NL) - 1).bit_length() + 1)
-
         def body(c, _):
             bw, done = c
-            best_p, _ = _fill_pallas(read_t, ref_t, m, r, bw, m_max)
-            now = (best_p >= score1) | (2 * bw > max_len)
+            best, _ = _fill_pallas(read_t, ref_t, m, r, bw, done,
+                                   m_max, False)
+            now = (best >= score1) | (2 * bw > max_len)
             bw = jnp.where(done | now, bw, 2 * bw)
             return (bw, done | now), None
 
         (bw_f, _), _ = jax.lax.scan(
             body, (bw0, jnp.zeros((P,), bool)), None, length=n_passes)
-        _, dirs = _fill_pallas(read_t, ref_t, m, r, bw_f, m_max)
+        _, dirs = _fill_pallas(read_t, ref_t, m, r, bw_f,
+                               jnp.zeros((P,), jnp.int32), m_max, True)
     else:
-        # XLA path (CPU / interpret): score-only doubling + one
-        # direction-emitting pass at the final band
-        def cond(c):
-            return jnp.any(~c[1])
-
-        def body(c):
+        def body(c, _):
             bw, done = c
             best, _ = _fill_pass(read_t, sub_ref, m, r, bw, m_max, False)
             now = (best >= score1) | (2 * bw > max_len)
             bw = jnp.where(done | now, bw, 2 * bw)
-            return bw, done | now
+            return (bw, done | now), None
 
-        bw_f, _ = jax.lax.while_loop(
-            cond, body, (bw0, jnp.zeros((P,), bool)))
-
+        (bw_f, _), _ = jax.lax.scan(
+            body, (bw0, jnp.zeros((P,), bool)), None, length=n_passes)
         _, dirs = _fill_pass(read_t, sub_ref, m, r, bw_f, m_max, True)
         dirs = dirs.transpose(0, 2, 1)           # -> [m_max, NL, P]
     # flat [m_max * NL * P] for the walk's 1D gather
     flat = dirs.reshape(-1)
 
-    # traceback walk, all pairs in lock-step
+    # run-length traceback walk, all pairs in lock-step; each step
+    # consumes one full CIGAR run (precomputed in the fill)
     p_idx = jnp.arange(P, dtype=jnp.int32)
 
     def step(carry, _):
-        i, j, layer, failed, ndone = carry
+        i, j, failed, ndone = carry
         active = ~ndone & ~failed
-        oob = jnp.abs(j - i) > bw_f
-        d8 = flat[(jnp.clip(i, 0, m_max - 1) * NL
-                   + jnp.clip(j, 0, NL - 1)) * P + p_idx].astype(jnp.int32)
-        d = jnp.where(layer == 0, 2 + (d8 & 1),
-                      jnp.where(layer == 1, 4 + ((d8 >> 1) & 1),
-                                (d8 >> 2)))
-        bad = active & (oob | (d == 0) | (d > 5))
+        g = flat[(jnp.clip(i, 0, m_max - 1) * NL
+                  + jnp.clip(j, 0, NL - 1)) * P + p_idx].astype(jnp.int32)
+        dh = g & 7
+        rl = g >> 3
+        bad = active & ((dh == 0) | (dh > 5))
         mv = active & ~bad
-        # op codes: 1 M, 2 I, 3 D (0 = no step)
-        op = jnp.where(d == 1, 1, jnp.where(d <= 3, 2, 3))
-        di = jnp.where(d <= 3, 1, 0)
-        dj = jnp.where((d == 1) | (d >= 4), 1, 0)
-        nl = jnp.where(d == 1, 2,
-                       jnp.where(d == 2, 0, jnp.where(d == 3, 2,
-                                 jnp.where(d == 4, 1, 2))))
-        i = jnp.where(mv, i - di, i)
-        j = jnp.where(mv, j - dj, j)
-        layer = jnp.where(mv, nl, layer)
+        op = jnp.where(dh == 1, OP_M, jnp.where(dh <= 3, OP_I, OP_D))
+        # caps: the oracle's loop condition (i >= 0 && j > 0) before
+        # every step bounds how much of the run is consumed; hitting a
+        # cap exits the walk (runs never resume mid-way)
+        cap = jnp.where(dh == 1, jnp.minimum(i + 1, j),
+                        jnp.where(dh <= 3, i + 1, j))
+        ln = jnp.minimum(rl, cap)
+        i = jnp.where(mv & (op != OP_D), i - ln, i)
+        j = jnp.where(mv & (op != OP_I), j - ln, j)
         failed = failed | bad
         ndone = ndone | ~((i >= 0) & (j > 0)) | failed
-        return (i, j, layer, failed, ndone), \
-            jnp.where(mv, op, 0).astype(jnp.int8)
+        ent = jnp.where(mv, op | (ln << 2), 0)
+        return (i, j, failed, ndone), ent.astype(jnp.int16)
 
-    init = (m - 1, r - 1, jnp.full((P,), 2, jnp.int32),
-            jnp.zeros((P,), bool), ~((m - 1 >= 0) & (r - 1 > 0)))
-    (_, _, _, failed, _), ops = jax.lax.scan(
-        step, init, None, length=n_steps)
-    return ops.T, failed, bw_f                       # ops [P, n_steps]
+    init = (m - 1, r - 1, jnp.zeros((P,), bool),
+            ~((m - 1 >= 0) & (r - 1 > 0)))
+    (_, _, failed, ndone), ents = jax.lax.scan(
+        step, init, None, length=n_entries)
+    # rle_overflow: still walking after n_entries -> host runs its own
+    # banded DP for these pairs (dev_fail == 2)
+    status = jnp.where(failed, 1, jnp.where(~ndone, 2, 0)).astype(jnp.int8)
+    return ents.T, status, bw_f                  # ents [P, n_entries]
 
 
 def banded_traceback_batch(read_codes, query_begin, query_end,
                            ref_codes, ref_begin, ref_end, score1):
-    """Device banded DP + traceback for a batch of scored pairs.
+    """Device banded DP + run-length traceback for a batch of scored
+    pairs.
 
     read_codes [P, LQ] int8 0..4, ref_codes [P, NL] int8; begin/end are
     the device score pass's matched subregion bounds (inclusive), score1
-    the target score.  Returns (ops [P, S] int8 — backward-order walk
-    codes 1=M 2=I 3=D, 0 past the end — and fail [P] bool mirroring the
-    oracle's traceback-failure flag).  The caller feeds ops to
-    native/swalign.cpp (hrm_ssw_finish_batch with dev_ops), which builds
-    the run-length entries exactly like its own walk would.
+    the target score.  Returns (ops [P, N_ENTRIES] int16 — backward-order
+    run-length entries, op in bits 0..1 (1=M 2=I 3=D), length in bits
+    2..14, 0 past the end — and status [P] int8: 0 = ops valid,
+    1 = traceback failed (oracle flag=1), 2 = entry budget exceeded (the
+    caller must run the host banded DP for these pairs)).  The caller
+    feeds ops to native/swalign.cpp (hrm_ssw_finish_batch dev_ops), which
+    merges the runs exactly like its own walk would.
     """
     return banded_traceback_dispatch(read_codes, query_begin, query_end,
                                      ref_codes, ref_begin, ref_end, score1)
@@ -372,20 +434,19 @@ def banded_traceback_batch(read_codes, query_begin, query_end,
 def banded_traceback_dispatch(read_codes, query_begin, query_end,
                               ref_codes, ref_begin, ref_end, score1):
     """Enqueue without synchronizing (same contract as
-    swdev.ssw_score_dispatch): returns device arrays (ops, fail)."""
+    swdev.ssw_score_dispatch): returns device arrays (ops, status)."""
     LQ = int(read_codes.shape[1])
-    NL = int(ref_codes.shape[1])
     P = int(read_codes.shape[0])
     use_pallas = (jax.default_backend() == "tpu" and P % _BP == 0)
-    ops, failed, _ = _banded_tb_jit(
+    ops, status, _ = _banded_tb_jit(
         jnp.asarray(read_codes), jnp.asarray(query_begin),
         jnp.asarray(query_end), jnp.asarray(ref_codes),
         jnp.asarray(ref_begin), jnp.asarray(ref_end),
-        jnp.asarray(score1), m_max=LQ, n_steps=LQ + NL - 1,
+        jnp.asarray(score1), m_max=LQ, n_entries=N_ENTRIES,
         use_pallas=use_pallas)
-    return ops, failed
+    return ops, status
 
 
 def banded_traceback_collect(dev):
-    ops, failed = dev
-    return np.asarray(ops), np.asarray(failed)
+    ops, status = dev
+    return np.asarray(ops), np.asarray(status)

@@ -388,7 +388,7 @@ def _run_cssw_host(genome: Genome, genome_rc: Genome,
     return out
 
 
-_BANDTB_CHUNK = 4096   # pairs per device banded-traceback dispatch
+_BANDTB_CHUNK = 8192   # pairs per device banded-traceback dispatch
 _B4 = np.frombuffer(b"ACGT", dtype=np.uint8)
 _B5 = np.frombuffer(b"ACGTN", dtype=np.uint8)
 _COMPL_U8 = np.arange(256, dtype=np.uint8)
@@ -569,14 +569,16 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
     # native finish then only does the run-length build + =/X rewrite
     # (reference's banded_sw, ssw.c:550-790, runs per-pair on the host CPU)
     use_tb = bool(getattr(opts, "step2_device_traceback", True))
-    S_ops = lq + ws - 1
-    ops_all = np.zeros((P, S_ops), np.int8) if use_tb else None
+    from ..ops.bandtb import N_ENTRIES as _TB_ENTRIES
+    ops_all = np.zeros((P, _TB_ENTRIES), np.int16) if use_tb else None
     fail_all = np.zeros(P, np.int8) if use_tb else None
 
     def tb_dispatch(s, e):
         """Enqueue banded-traceback chunks for pairs [s, e) that need the
         DP (uncertified, non-fallback, non-degenerate).  Fixed-size padded
-        chunks keep the jit shape count bounded."""
+        chunks keep the jit shape count bounded; pairs are ordered by
+        initial band width so multi-pass pairs cluster into the same
+        Pallas blocks (done blocks skip later doubling passes)."""
         if not use_tb:
             return None
         from ..ops import bandtb
@@ -585,6 +587,9 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         idx = np.nonzero(need)[0] + s
         if len(idx) == 0:
             return []
+        m_sub = dev["query_end"][idx] - dev["query_begin"][idx]
+        r_sub = dev["ref_end"][idx] - dev["ref_begin"][idx]
+        idx = idx[np.argsort(np.abs(r_sub - m_sub), kind="stable")[::-1]]
         C = (_BANDTB_CHUNK if len(idx) > _BANDTB_CHUNK
              else max(128, 1 << (len(idx) - 1).bit_length()))
         out = []
@@ -605,9 +610,9 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             return
         from ..ops import bandtb
         for sub, h in handles:
-            ops, fail = bandtb.banded_traceback_collect(h)
+            ops, status = bandtb.banded_traceback_collect(h)
             ops_all[sub] = ops[:len(sub)]
-            fail_all[sub] = fail[:len(sub)].astype(np.int8)
+            fail_all[sub] = status[:len(sub)]
 
     pending = []
     if pre_scores is not None:

@@ -333,7 +333,7 @@ static void finish_alignment(const int8_t* read, const int8_t* ref_t,
                              int match_s, int mismatch_s,
                              int32_t* flag_out, int32_t* mismatches_out,
                              std::string* cig_out, int diag_certified,
-                             const int8_t* dev_ops = nullptr,
+                             const int16_t* dev_ops = nullptr,
                              int dev_ops_len = 0, int dev_fail = 0) {
     *flag_out = flag_in;
     *mismatches_out = 0;
@@ -346,31 +346,42 @@ static void finish_alignment(const int8_t* read, const int8_t* ref_t,
         // banded DP is skipped entirely and only the =/X rewrite below runs.
         entries.clear();
         entries.push_back({query_end - query_begin + 1, 'M'});
-    } else if (dev_ops) {
-        // device-walked traceback (ops/bandtb.py): backward-order op codes
-        // 1=M 2=I 3=D, 0-terminated.  dev_fail mirrors the oracle's
-        // traceback failure (left the band / zero direction).
-        if (dev_fail) {
+    } else if (dev_ops && dev_fail != 2) {
+        // device-walked traceback (ops/bandtb.py): backward-order
+        // run-length entries, int16 each = op (bits 0..1: 1=M 2=I 3=D)
+        // | length << 2, 0-terminated.  dev_fail: 1 mirrors the oracle's
+        // traceback failure (left the band / zero direction); 2 = the
+        // device's entry budget overflowed and the caller falls through
+        // to the host banded DP below (bit-exact either way).
+        if (dev_fail == 1) {
             *flag_out = 1;
             return;
         }
-        // identical run-length construction to the walk below (ops is the
-        // backward string; final entry merges the implicit corner M)
+        // identical run-length construction to the oracle walk: merge
+        // adjacent same-op runs, then the final backward entry merges
+        // the implicit corner M (or appends one)
         entries.clear();
-        int n_ops = 0;
-        while (n_ops < dev_ops_len && dev_ops[n_ops]) n_ops++;
         static const char kOp[4] = {'?', 'M', 'I', 'D'};
-        if (n_ops == 0) {
-            entries.push_back({1, 'M'});
-        } else {
-            int cnt = 1;
-            for (int t = 1; t < n_ops; t++) {
-                if (dev_ops[t] == dev_ops[t - 1]) cnt++;
-                else { entries.push_back({cnt, kOp[dev_ops[t - 1]]}); cnt = 1; }
+        int cnt = 0;
+        char cur = 0;
+        for (int t = 0; t < dev_ops_len && dev_ops[t]; t++) {
+            char op = kOp[dev_ops[t] & 3];
+            int len = dev_ops[t] >> 2;
+            if (op == cur) {
+                cnt += len;
+            } else {
+                if (cnt) entries.push_back({cnt, cur});
+                cur = op;
+                cnt = len;
             }
-            char last = kOp[(int)dev_ops[n_ops - 1]];
-            if (last == 'M') entries.push_back({cnt + 1, 'M'});
-            else { entries.push_back({cnt, last}); entries.push_back({1, 'M'}); }
+        }
+        if (cnt == 0) {
+            entries.push_back({1, 'M'});
+        } else if (cur == 'M') {
+            entries.push_back({cnt + 1, 'M'});
+        } else {
+            entries.push_back({cnt, cur});
+            entries.push_back({1, 'M'});
         }
         std::reverse(entries.begin(), entries.end());
     } else if (!banded_cigar(read + query_begin,
@@ -529,7 +540,7 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                          const int32_t* ref_end, const int32_t* query_begin,
                          const int32_t* query_end, const int32_t* flag_in,
                          const int8_t* diag,
-                         const int8_t* dev_ops, int dev_ops_stride,
+                         const int16_t* dev_ops, int dev_ops_stride,
                          const int8_t* dev_fail,
                          int n_pairs, int n_threads, int codes_in,
                          int32_t* mismatches_out, int32_t* flag_out,
@@ -588,7 +599,7 @@ int hrm_ssw_finish_batch(const char* query_pool, const int32_t* query_off,
                          const int32_t* ref_end, const int32_t* query_begin,
                          const int32_t* query_end, const int32_t* flag_in,
                          const int8_t* diag,
-                         const int8_t* dev_ops, int dev_ops_stride,
+                         const int16_t* dev_ops, int dev_ops_stride,
                          const int8_t* dev_fail,
                          int n_pairs, int n_threads, int codes_in,
                          int32_t* mismatches_out, int32_t* flag_out,

@@ -60,14 +60,14 @@ def _finish_both(rc, rls, fc, fls, dev, use_diag):
     n = rc.shape[0]
     sel = ~dev["host_fallback"] & ~dev["degenerate"]
     idx = np.nonzero(sel)[0]
-    ops, fail = bandtb.banded_traceback_batch(
+    ops, status = bandtb.banded_traceback_batch(
         rc[idx], dev["query_begin"][idx], dev["query_end"][idx],
         fc[idx], dev["ref_begin"][idx], dev["ref_end"][idx],
         dev["score1"][idx])
-    ops_all = np.zeros((n, ops.shape[1]), np.int8)
+    ops_all = np.zeros((n, ops.shape[1]), np.int16)
     fail_all = np.zeros(n, np.int8)
     ops_all[idx] = np.asarray(ops)
-    fail_all[idx] = np.asarray(fail).astype(np.int8)
+    fail_all[idx] = np.asarray(status)
     diag = dev["diag"].astype(np.int8) if use_diag else None
     args = (rc[sel].tobytes(),
             np.arange(sel.sum(), dtype=np.int32) * LQ, rls[sel],
