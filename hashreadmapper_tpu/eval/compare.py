@@ -81,6 +81,16 @@ def compare_mappings(genome: Genome, truth: Sequence[TruthRecord],
     stats = CompareStats({}, 0, 0, 0, 0)
     by_id = {m.read_id: m for m in mapped}
     name_to_idx = {n: i for i, n in enumerate(genome.names)}
+    # decode each chromosome once (sequence_str re-decodes the full
+    # chromosome per call; at evaluation scale that dominated everything)
+    seq_cache: Dict[int, str] = {}
+
+    def seq(ci: int) -> str:
+        s = seq_cache.get(ci)
+        if s is None:
+            s = seq_cache[ci] = genome.sequence_str(ci)
+        return s
+
     for t in truth:
         m = by_id.get(t.read_id)
         if m is None:
@@ -94,8 +104,8 @@ def compare_mappings(genome: Genome, truth: Sequence[TruthRecord],
         ci1 = name_to_idx[t.chromosome]
         ci2 = name_to_idx[m.chromosome]
         mapper_pos = m.window_position + m.shift
-        seq1 = genome.sequence_str(ci1)
-        seq2 = genome.sequence_str(ci2)
+        seq1 = seq(ci1)
+        seq2 = seq(ci2)
         if mapper_pos < 0 or mapper_pos + m.read_length >= len(seq2):
             stats.num_clipped += 1
             continue

@@ -105,7 +105,7 @@ class WindowStreamMapper:
             self.read_bases, self.read_lengths, opts.three_n_seeding,
             undirectional=True) if opts.undirectional else self.read_planes)
 
-    def _window_batch(self, genome_hi, genome_lo, chrom_goff, win_bases,
+    def _window_batch(self, genome_concat, genome_hi, genome_lo, chrom_goff,
                       win_len, win_pos, chrom_len, win_valid):
         i = self.index
         return self._window_batch_impl(
@@ -113,8 +113,8 @@ class WindowStreamMapper:
             i.cuckoo_keys, i.cuckoo_payload,
             self.read_planes, self.read_planes_u, self.read_lengths,
             self.hash_ids,
-            genome_hi, genome_lo, chrom_goff, win_bases, win_len, win_pos,
-            chrom_len, win_valid)
+            genome_concat, genome_hi, genome_lo, chrom_goff, win_len,
+            win_pos, chrom_len, win_valid)
 
     @partial(jax.jit, static_argnames=("self",))
     def _window_batch_impl(self, index_keys, index_offsets, index_values,
@@ -122,15 +122,24 @@ class WindowStreamMapper:
                            cuckoo_keys, cuckoo_payload,
                            read_planes, read_planes_u, read_lengths_all,
                            hash_ids,
-                           genome_hi, genome_lo, chrom_goff: jnp.ndarray,
-                           win_bases: jnp.ndarray, win_len: jnp.ndarray,
+                           genome_concat, genome_hi, genome_lo,
+                           chrom_goff: jnp.ndarray, win_len: jnp.ndarray,
                            win_pos: jnp.ndarray, chrom_len: jnp.ndarray,
                            win_valid: jnp.ndarray):
         """One batch of windows -> packed per-pair results [B*K, 4]:
         (read_id|SENTINEL, hamming, shift, orientation)."""
         opts = self.opts
-        b = win_bases.shape[0]
+        b = win_pos.shape[0]
         kcap = opts.candidates_per_read_cap
+        # window bases gathered on device from the resident genome —
+        # only the [B] int32 positions cross H2D per batch (the reference
+        # likewise ships window chars, never the genome,
+        # src/gpu/main_gpu.cu:484-514)
+        widx = (chrom_goff + win_pos[:, None]
+                + jnp.arange(opts.window_size, dtype=jnp.int32)[None, :])
+        widx = jnp.minimum(widx, genome_concat.shape[0] - 1)
+        win_bases = jnp.take(genome_concat, widx.reshape(-1)).reshape(
+            b, opts.window_size)
 
         if opts.three_n_seeding:
             s_ct, sig_valid = minhash.minhash_signatures(
@@ -233,7 +242,7 @@ class WindowStreamMapper:
         kcap = opts.candidates_per_read_cap
         packed_parts = []
         batch_meta = []  # (chrom_id, positions array, n_windows)
-        overflow = np.zeros(2, dtype=np.int64)
+        overflow_parts = []  # device handles; summed once at the end
         for batch in genome.iter_window_batches(
                 opts.kmer_length, opts.window_size, bsz):
             nb = len(batch.positions)
@@ -245,23 +254,21 @@ class WindowStreamMapper:
                 pos = np.pad(pos, (0, bsz - nb))
                 lens = np.pad(lens, (0, bsz - nb))
                 valid = np.pad(valid, (0, bsz - nb))
-            # window bases from genome
             goff = int(chrom_offsets[batch.chromosome_id])
-            idx = (goff + pos[:, None]
-                   + np.arange(opts.window_size)[None, :])
-            idx = np.minimum(idx, t - 1)
-            wb = np.asarray(self._genome_concat)[idx]
             packed, ovf = self._window_batch(
-                self._genome_hi, self._genome_lo, jnp.int32(goff),
-                jnp.asarray(wb.astype(np.int8)), jnp.asarray(lens),
-                jnp.asarray(pos), jnp.full((bsz,), clen, dtype=jnp.int32),
+                self._genome_concat, self._genome_hi, self._genome_lo,
+                jnp.int32(goff), jnp.asarray(lens),
+                jnp.asarray(pos.astype(np.int32)),
+                jnp.full((bsz,), clen, dtype=jnp.int32),
                 jnp.asarray(valid))
             packed_parts.append(packed)
             batch_meta.append((batch.chromosome_id, batch.positions,
                                batch.global_window_ids, nb))
-            overflow += np.asarray(ovf)
+            overflow_parts.append(ovf)
 
         all_packed = np.asarray(jnp.concatenate(packed_parts))
+        overflow = np.asarray(
+            jnp.sum(jnp.stack(overflow_parts), axis=0)).astype(np.int64)
 
         out = CoarseResults(
             orientation=np.full(self.num_reads, shd.NONE, dtype=np.int8),
