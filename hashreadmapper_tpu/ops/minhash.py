@@ -138,19 +138,29 @@ def minhash_signatures(bases: jnp.ndarray, lengths: jnp.ndarray, k: int,
       (sig [N, F] uint32, valid [N] bool).  Invalid rows carry SIG_SENTINEL.
     """
     assert 1 <= k <= 16, "device signatures restricted to k<=16 (uint32)"
-    if canonical:
-        (chi, clo), kvalid = canonical_kmers(bases, lengths, k)
+    from . import minhash_pallas
+    if minhash_pallas.can_use(k, bases.shape[0], bases.shape[1] - k + 1):
+        # fused Pallas kernel (in-kernel k-mer build + murmur + min);
+        # bit-identical to the XLA path below, ~10x cheaper on the chip
+        # (the XLA k-mer build's unaligned lane slices were ~90% of the
+        # honest coarse-step budget)
+        min_lo = minhash_pallas.sigs_from_bases(
+            bases, lengths, k, hash_ids,
+            mode="canon" if canonical else "fwd")
     else:
-        (chi, clo), kvalid = forward_kmers(bases, lengths, k)
+        if canonical:
+            (chi, clo), kvalid = canonical_kmers(bases, lengths, k)
+        else:
+            (chi, clo), kvalid = forward_kmers(bases, lengths, k)
 
-    # hash input = canonical kmer + hash id (u64 add with carry)
-    f = hash_ids.astype(jnp.uint32)[None, :, None]          # [1, F, 1]
-    lo_f = clo[:, None, :] + f                              # [N, F, P]
-    carry = (lo_f < clo[:, None, :]).astype(jnp.uint32)
-    hi_f = chi[:, None, :] + carry
+        # hash input = canonical kmer + hash id (u64 add with carry)
+        f = hash_ids.astype(jnp.uint32)[None, :, None]      # [1, F, 1]
+        lo_f = clo[:, None, :] + f                          # [N, F, P]
+        carry = (lo_f < clo[:, None, :]).astype(jnp.uint32)
+        hi_f = chi[:, None, :] + carry
 
-    hhi, hlo = u64.murmur64((hi_f, lo_f))
-    min_hi, min_lo = _min_u64_masked(hhi, hlo, kvalid[:, None, :], axis=2)
+        hhi, hlo = u64.murmur64((hi_f, lo_f))
+        _, min_lo = _min_u64_masked(hhi, hlo, kvalid[:, None, :], axis=2)
 
     mask = kmer_mask_py(k)
     if k == 16:
@@ -160,6 +170,57 @@ def minhash_signatures(bases: jnp.ndarray, lengths: jnp.ndarray, k: int,
     seq_valid = lengths >= k
     sig = jnp.where(seq_valid[:, None], sig, jnp.uint32(SIG_SENTINEL))
     return sig, seq_valid
+
+
+@partial(jax.jit, static_argnames=("k", "mirror"))
+def signatures_3n_pair(bases: jnp.ndarray, lengths: jnp.ndarray, k: int,
+                       hash_ids: jnp.ndarray, mirror: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both 3N signature spaces of a read batch in one pass.
+
+    mirror=False (directional): returns ([N, 2F] = [sig_CT(x) |
+    sig_GA(RC(x))], valid) — the engine's read-side probe layout.
+    mirror=True (undirectional PBAT): [sig_CT(RC(x)) | sig_GA(x)].
+
+    Uses the identity GA(RC(x)) == RC(CT(x)) (complement maps C->T onto
+    G->A), so both spaces come from ONE collapse's forward and
+    reverse-complement k-mers — no revcomp gather; on TPU a single fused
+    Pallas pass (minhash_pallas.sigs_from_bases mode='both').
+    Bit-identical to two minhash_signatures calls over the collapsed /
+    revcomp'd inputs (tests/test_minhash_pallas.py).
+    """
+    from . import encode, minhash_pallas
+    n, maxlen = bases.shape
+    seq_valid = lengths >= k
+    if mirror:
+        coll = jnp.where(bases == 2, jnp.int8(0), bases)     # GA(x)
+    else:
+        coll = jnp.where(bases == 1, jnp.int8(3), bases)     # CT(x)
+    if minhash_pallas.can_use(k, n, maxlen - k + 1):
+        s = minhash_pallas.sigs_from_bases(coll, lengths, k, hash_ids,
+                                           mode="both")
+        f = hash_ids.shape[0]
+        mask = kmer_mask_py(k)
+        if k < 16:
+            s = s & jnp.uint32(mask)
+        s = jnp.where(seq_valid[:, None], s, jnp.uint32(SIG_SENTINEL))
+        fwd_s, rc_s = s[:, :f], s[:, f:]
+        # directional probe order: [CT(x), GA(RC(x))]; mirrored (PBAT):
+        # [CT(RC(x)), GA(x)] — the rc-kmer half is CT(RC(x)) == RC(GA(x))
+        sigs = (jnp.concatenate([rc_s, fwd_s], axis=1) if mirror
+                else jnp.concatenate([fwd_s, rc_s], axis=1))
+        return sigs, seq_valid
+    rc = encode.revcomp_bases(bases, lengths)
+    if mirror:
+        other = jnp.where(rc == 1, jnp.int8(3), rc)          # CT(RC(x))
+        first, second = other, coll
+    else:
+        other = jnp.where(rc == 2, jnp.int8(0), rc)          # GA(RC(x))
+        first, second = coll, other
+    s1, v = minhash_signatures(first, lengths, k, hash_ids, canonical=False)
+    s2, _ = minhash_signatures(second, lengths, k, hash_ids,
+                               canonical=False)
+    return jnp.concatenate([s1, s2], axis=1), v
 
 
 @partial(jax.jit, static_argnames=("k", "chunk", "canonical"))

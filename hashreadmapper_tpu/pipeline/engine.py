@@ -536,17 +536,10 @@ class CoarseMapper:
         kcap = opts.candidates_per_read_cap
 
         if opts.three_n_seeding:
-            from ..ops import encode
-            read_ct = jnp.where(read_bases == 1, jnp.int8(3), read_bases)
-            rc = encode.revcomp_bases(read_bases, read_len)
-            rc_ga = jnp.where(rc == 2, jnp.int8(0), rc)
-            sig_ct, sig_valid = minhash.minhash_signatures(
-                read_ct, read_len, opts.kmer_length, hash_ids,
-                canonical=False)
-            sig_ga, _ = minhash.minhash_signatures(
-                rc_ga, read_len, opts.kmer_length, hash_ids,
-                canonical=False)
-            sigs = jnp.concatenate([sig_ct, sig_ga], axis=1)   # [B, 2F]
+            # both 3N spaces in one fused pass (no revcomp gather; see
+            # minhash.signatures_3n_pair)
+            sigs, sig_valid = minhash.signatures_3n_pair(
+                read_bases, read_len, opts.kmer_length, hash_ids)
         else:
             sigs, sig_valid = minhash.minhash_signatures(
                 read_bases, read_len, opts.kmer_length, hash_ids)
@@ -582,15 +575,9 @@ class CoarseMapper:
             # PBAT strands: the same 2F window tables probed with the
             # mirrored query spaces — CT(RC read) against the CT tables,
             # GA(read) against the GA tables
-            rc_ct = jnp.where(rc == 1, jnp.int8(3), rc)
-            read_ga = jnp.where(read_bases == 2, jnp.int8(0), read_bases)
-            sig_rcct, _ = minhash.minhash_signatures(
-                rc_ct, read_len, opts.kmer_length, hash_ids,
-                canonical=False)
-            sig_rga, _ = minhash.minhash_signatures(
-                read_ga, read_len, opts.kmer_length, hash_ids,
-                canonical=False)
-            sigs_u = jnp.concatenate([sig_rcct, sig_rga], axis=1)
+            sigs_u, _ = minhash.signatures_3n_pair(
+                read_bases, read_len, opts.kmer_length, hash_ids,
+                mirror=True)
             cand_u, counts_u, tail_drops_u = probe(sigs_u)
             cand = jnp.concatenate([cand, cand_u], axis=0)     # [4F, N, C]
             counts = jnp.concatenate([counts, counts_u], axis=0)
