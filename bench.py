@@ -16,6 +16,13 @@ documented estimate is its production SLURM shape — 10M reads / 6 GPUs
 within a 20-minute walltime request (reference: scriptJob:10-17,40) — i.e.
 >=8333 reads/s aggregate, ~1389 reads/s per GPU (an ESTIMATE, not a
 measurement).  vs_baseline = value / 1389.
+
+ROUND-4 METHODOLOGY CORRECTION: jax.block_until_ready does not wait for
+execution on this transport, so the coarse numbers reported by rounds 1-3
+(BENCH_r01..r03) timed little more than dispatch and are inflated; see
+coarse_rate's docstring for the honest protocol (time through the single
+result fetch; medians of >=3 reps).  The e2e wall-clock numbers were
+always honest.
 """
 
 import json
@@ -55,8 +62,19 @@ def make_genome_and_reads(rng, genome_len, n_reads, read_len, three_n):
     return genome, reads, starts
 
 
-def coarse_rate(genome, reads, opts, label):
-    """Steady-state coarse rate over the device-resident read pool."""
+def coarse_rate(genome, reads, opts, label, reps=3):
+    """Steady-state coarse rate over the device-resident read pool.
+
+    MEASUREMENT METHODOLOGY (round 4): on this transport
+    jax.block_until_ready returns BEFORE execution completes (verified:
+    24-batch dispatch "blocked" in 0.37 s while fetching the results took
+    another 1.2 s), so rounds 1-3's coarse numbers timed only dispatch.
+    The honest protocol used here: dispatch every batch, concatenate the
+    per-batch outputs ON DEVICE, and time through the single host fetch
+    (np.asarray), which waits for the whole FIFO.  The reported value is
+    the median of `reps` repetitions; per-rep rates go to stderr so the
+    run-to-run spread stays visible.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -79,35 +97,36 @@ def coarse_rate(genome, reads, opts, label):
     all_bases = jnp.asarray(padded)
     all_lens = jnp.asarray(np.full(n_reads, read_len, dtype=np.int32))
     all_valid = jnp.ones((n_reads,), dtype=bool)
-    jax.block_until_ready([all_bases, all_lens, all_valid])
+    np.asarray(all_bases)   # force the upload to finish before timing
 
-    def run_batch(i):
-        return mapper._map_batch_at(
+    def run_all():
+        outs = [mapper._map_batch_at(
             all_bases, all_lens, all_valid, jnp.int32(i * batch), batch,
-            dropped[0], dropped[1])
+            dropped[0], dropped[1]) for i in range(n_batches)]
+        packed_dev = jnp.concatenate([o[0] for o in outs], axis=0)
+        ovf_dev = jnp.stack([o[1] for o in outs]).sum(axis=0)
+        # ONE fetch: waits for every batch in the FIFO + the transfer
+        return np.asarray(packed_dev), np.asarray(ovf_dev)
 
     t0 = time.perf_counter()
-    out = run_batch(0)
-    jax.block_until_ready(out)
-    log(f"[{label}] compile+first batch: {time.perf_counter()-t0:.2f}s")
+    packed, ovf = run_all()
+    log(f"[{label}] compile+first pass: {time.perf_counter()-t0:.2f}s")
 
-    t0 = time.perf_counter()
-    outs = [out]
-    for i in range(1, n_batches):
-        outs.append(run_batch(i))
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    rps = batch * (n_batches - 1) / dt
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        packed, ovf = run_all()
+        dt = time.perf_counter() - t0
+        rates.append(n_reads / dt)
+    rps = float(np.median(rates))
 
-    packed = np.asarray(jnp.concatenate([o[0] for o in outs], axis=0))
-    ovf = np.sum([np.asarray(o[1]) for o in outs], axis=0)
     assert ovf[2] == 0, f"pair budget overflowed ({ovf[2]} dropped pairs)"
     assert ovf[3] == 0, f"probe tail budget overflowed ({ovf[3]} probes)"
     n_mapped = int((packed[:, 0] != 3).sum())
-    log(f"[{label}] {batch*(n_batches-1)} reads in {dt:.3f}s -> "
-        f"{rps:,.0f} reads/s; mapped {n_mapped}/{n_reads}; "
-        f"overflow {ovf.tolist()}")
-    return rps, mapper, packed, dt
+    log(f"[{label}] {n_reads} reads x{reps}: "
+        f"{'/'.join(f'{r:,.0f}' for r in rates)} reads/s (median {rps:,.0f})"
+        f"; mapped {n_mapped}/{n_reads}; overflow {ovf.tolist()}")
+    return rps, mapper, packed, n_reads / rps
 
 
 def main():
@@ -162,25 +181,31 @@ def main():
     _pipelined_sw(mapper, padded[:opts3.step2_pipeline_chunk],
                   store.slice_rows(0, opts3.step2_pipeline_chunk),
                   genome, genome_rc, opts3)
-    t0 = time.perf_counter()
-    results3, aas = _pipelined_sw(mapper, padded, store, genome, genome_rc,
-                                  opts3)
     from hashreadmapper_tpu.pipeline.records import (MappingRecords,
                                                      emit_sam, emit_vcf)
-    t_map = time.perf_counter() - t0
-    if isinstance(aas, MappingRecords):
-        sam_stats = emit_sam(aas, genome, "/tmp/bench_out.SAM", threads=4)
-        t_sam = time.perf_counter() - t0
-        emit_vcf(aas, genome, "/tmp/bench_out")
-    else:
-        sam_stats = mapping.print_to_sam(aas, genome, "/tmp/bench_out.SAM")
-        t_sam = time.perf_counter() - t0
-        mapping.do_vc(aas, genome, "/tmp/bench_out")
-    log(f"[e2e] map {t_map:.2f}s sam +{t_sam - t_map:.2f}s "
-        f"vcf +{time.perf_counter() - t0 - t_sam:.2f}s")
-    t_e2e = time.perf_counter() - t0
-    rps_e2e = n_reads / t_e2e
-    log(f"[e2e] pipelined STEP1+2+3: {t_e2e:.2f}s ({sam_stats}); "
+    e2e_rates = []
+    for rep in range(2):        # median of 2 (run variance, PERF.md)
+        t0 = time.perf_counter()
+        results3, aas = _pipelined_sw(mapper, padded, store, genome,
+                                      genome_rc, opts3)
+        t_map = time.perf_counter() - t0
+        if isinstance(aas, MappingRecords):
+            sam_stats = emit_sam(aas, genome, "/tmp/bench_out.SAM",
+                                 threads=4)
+            t_sam = time.perf_counter() - t0
+            emit_vcf(aas, genome, "/tmp/bench_out")
+        else:
+            sam_stats = mapping.print_to_sam(aas, genome,
+                                             "/tmp/bench_out.SAM")
+            t_sam = time.perf_counter() - t0
+            mapping.do_vc(aas, genome, "/tmp/bench_out")
+        t_e2e = time.perf_counter() - t0
+        log(f"[e2e] rep {rep}: map {t_map:.2f}s sam +{t_sam - t_map:.2f}s "
+            f"vcf +{t_e2e - t_sam:.2f}s")
+        e2e_rates.append(n_reads / t_e2e)
+    rps_e2e = float(np.median(e2e_rates))
+    log(f"[e2e] pipelined STEP1+2+3 ({sam_stats}); "
+        f"{'/'.join(f'{r:,.0f}' for r in e2e_rates)} -> "
         f"e2e {rps_e2e:,.0f} reads/s")
     n3 = int((results3.orientation != 3).sum())
     assert n3 == n_mapped_3n, "pipelined coarse diverged from pool coarse"

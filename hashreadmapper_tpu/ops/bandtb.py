@@ -324,10 +324,74 @@ def _fill_pallas(read_t, ref_t, m, r, bw, done, m_max: int,
     return out[0][0], None
 
 
+FUSED_ENTRIES = 48   # fused-mode walk budget (uint8 entries, runs split
+# at 63; p99 of real walks is ~35 entries — overflow -> host banded DP)
+
+
+def fused_traceback(pair_q, pair_ref, s10, n_entries: int = FUSED_ENTRIES):
+    """Traced banded traceback for one scored batch — called INSIDE the
+    engine's fused coarse+score jit (engine._map_batch_scored_at_impl), so
+    the pair tensors never leave HBM and no extra dispatch/transfer
+    roundtrips are paid (each D2H costs ~25 ms RTT on this transport).
+
+    s10: swdev.ssw_score_packed's [10, P] int32 rows.  Pairs covered by
+    the all-M diag certificate / overflowed / degenerate are masked done
+    (their rows come back zero; the host never consumes them).  Entries
+    are uint8 — op in bits 0..1, run length (<= 63) in bits 2..7; longer
+    runs split across entries, which the native consumer's adjacent-run
+    merge (native/swalign.cpp::finish_alignment) reassembles exactly.
+
+    Returns (ops [P, n_entries] uint8, status [P] int8).
+    """
+    P, LQ = pair_q.shape
+    score1, ref_end, query_end = s10[0], s10[1], s10[2]
+    ref_begin, query_begin = s10[5], s10[6]
+    ovf = s10[8] != 0
+    diag = s10[9] != 0
+    degen = (s10[0] == 0) | (s10[1] < 0)
+    need = ~(diag | ovf | degen)
+    use_pallas = (jax.default_backend() == "tpu" and P % _BP == 0)
+
+    # sort pairs by (need, initial band width desc) so done pairs cluster
+    # into whole _BP blocks (the fill kernel skips all-done blocks; the
+    # natural [query, RC-query] interleaving defeats that) — the device
+    # analog of the old host dispatch's width sort.  Row permutation via
+    # one-hot MXU matmuls (row gathers cost ~18 ns/element here); codes
+    # 0..4 are exact in bf16, walk entries <= 255 exact in f32.
+    m_sub = query_end - query_begin + 1
+    r_sub = ref_end - ref_begin + 1
+    key = jnp.where(need, -(jnp.abs(r_sub - m_sub) + 1), jnp.int32(1))
+    order = jnp.argsort(key)
+    iota_p = jnp.arange(P, dtype=jnp.int32)
+    oh = (order[:, None] == iota_p[None, :])            # [P(sorted), P]
+    ohf = oh.astype(jnp.bfloat16)
+    sq = (ohf @ pair_q.astype(jnp.bfloat16)).astype(jnp.int8)
+    sref = (ohf @ pair_ref.astype(jnp.bfloat16)).astype(jnp.int8)
+    take = lambda a: jnp.take(a, order)
+    ents, status, _ = _tb_core(
+        sq, take(query_begin), take(query_end), sref, take(ref_begin),
+        take(ref_end), take(score1), m_max=LQ, n_entries=n_entries,
+        use_pallas=use_pallas, need=take(need), run_cap=63)
+    # unsort (transpose of the permutation)
+    ohf_t = oh.T.astype(jnp.float32)
+    ents_u = (ohf_t @ ents.astype(jnp.float32)).astype(jnp.int32)
+    status_u = (ohf_t @ status.astype(jnp.float32)).astype(jnp.int8)
+    return (ents_u.astype(jnp.uint8),
+            jnp.where(need, status_u, jnp.int8(0)))
+
+
 @partial(jax.jit, static_argnames=("m_max", "n_entries", "use_pallas"))
 def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
                    ref_begin, ref_end, score1, m_max: int, n_entries: int,
                    use_pallas: bool = False):
+    return _tb_core(read_codes, query_begin, query_end, ref_codes,
+                    ref_begin, ref_end, score1, m_max, n_entries,
+                    use_pallas)
+
+
+def _tb_core(read_codes, query_begin, query_end, ref_codes,
+             ref_begin, ref_end, score1, m_max: int, n_entries: int,
+             use_pallas: bool = False, need=None, run_cap: int = 0):
     LQ = read_codes.shape[1]
     P = read_codes.shape[0]
     NL = ref_codes.shape[1]
@@ -346,6 +410,9 @@ def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
     # band doubling as a FIXED-length scan: bw doubles at most
     # ceil(log2(max_len)) + 1 times before 2*bw > max_len stops it
     n_passes = max(1, (max(m_max, NL) - 1).bit_length() + 1)
+    done0 = jnp.zeros((P,), bool) if need is None else ~need
+    dirs_done = (jnp.zeros((P,), jnp.int32) if need is None
+                 else (~need).astype(jnp.int32))
 
     if use_pallas:
         def body(c, _):
@@ -357,9 +424,9 @@ def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
             return (bw, done | now), None
 
         (bw_f, _), _ = jax.lax.scan(
-            body, (bw0, jnp.zeros((P,), bool)), None, length=n_passes)
+            body, (bw0, done0), None, length=n_passes)
         _, dirs = _fill_pallas(read_t, ref_t, m, r, bw_f,
-                               jnp.zeros((P,), jnp.int32), m_max, True)
+                               dirs_done, m_max, True)
     else:
         def body(c, _):
             bw, done = c
@@ -369,7 +436,7 @@ def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
             return (bw, done | now), None
 
         (bw_f, _), _ = jax.lax.scan(
-            body, (bw0, jnp.zeros((P,), bool)), None, length=n_passes)
+            body, (bw0, done0), None, length=n_passes)
         _, dirs = _fill_pass(read_t, sub_ref, m, r, bw_f, m_max, True)
         dirs = dirs.transpose(0, 2, 1)           # -> [m_max, NL, P]
     # flat [m_max * NL * P] for the walk's 1D gather
@@ -395,6 +462,11 @@ def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
         cap = jnp.where(dh == 1, jnp.minimum(i + 1, j),
                         jnp.where(dh <= 3, i + 1, j))
         ln = jnp.minimum(rl, cap)
+        if run_cap:
+            # uint8-entry mode: split long runs; the per-cell run chains
+            # are suffix-closed, so the next gather lands mid-run with
+            # exactly the remainder precomputed
+            ln = jnp.minimum(ln, run_cap)
         i = jnp.where(mv & (op != OP_D), i - ln, i)
         j = jnp.where(mv & (op != OP_I), j - ln, j)
         failed = failed | bad
@@ -402,8 +474,10 @@ def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
         ent = jnp.where(mv, op | (ln << 2), 0)
         return (i, j, failed, ndone), ent.astype(jnp.int16)
 
-    init = (m - 1, r - 1, jnp.zeros((P,), bool),
-            ~((m - 1 >= 0) & (r - 1 > 0)))
+    ndone0 = ~((m - 1 >= 0) & (r - 1 > 0))
+    if need is not None:
+        ndone0 = ndone0 | ~need
+    init = (m - 1, r - 1, jnp.zeros((P,), bool), ndone0)
     (_, _, failed, ndone), ents = jax.lax.scan(
         step, init, None, length=n_entries)
     # rle_overflow: still walking after n_entries -> host runs its own

@@ -192,6 +192,40 @@ def _pass_batched(read_at, pre_mask, pos, seg_len, ref_t, ref_len,
     return best, end_ref, end_read, max_column, overflowed
 
 
+def _striped_select(read_t, seg_len, S: int, lq: int):
+    """read_at[j, k] = read_t[j + k*seg_len] without per-pair gathers.
+
+    seg_len has at most ceil(lq/16) distinct values, so the striped
+    permutation is materialized once per value as a STATIC row gather
+    (a plain data movement) and selected per pair — per-element dynamic
+    gathers cost ~18 ns/element on this backend and dominated the pass.
+    """
+    P = read_t.shape[1]
+    out = jnp.zeros((S, LANES, P), jnp.int32)
+    for s in range(1, S + 1):
+        idx = (np.arange(S)[:, None] + np.arange(LANES)[None, :] * s)
+        idx = np.minimum(idx, lq - 1).reshape(-1)
+        gat = read_t[idx].reshape(S, LANES, P)
+        out = jnp.where((seg_len == s)[None, None, :], gat, out)
+    return out
+
+
+def _shift_rows_up(x, sh, fill):
+    """out[t] = x[t + sh] (per-pair sh >= 0) via log-step select+roll —
+    replaces per-pair reversal gathers (same trick as bandtb._shift_sub)."""
+    n = int(x.shape[0])
+    sh = sh.astype(jnp.int32)
+    for b in range(max(1, (n - 1).bit_length())):
+        step = 1 << b
+        if step >= n:
+            break
+        shifted = jnp.concatenate(
+            [x[step:], jnp.full((step,) + x.shape[1:], fill, x.dtype)],
+            axis=0)
+        x = jnp.where((sh & step).astype(bool)[None, :], shifted, x)
+    return x
+
+
 def _striped_layout(read_codes, read_len, lq):
     """[P, LQ] reads -> striped [S, 16, P] code/pos/mask tensors."""
     S = (lq + LANES - 1) // LANES
@@ -202,9 +236,7 @@ def _striped_layout(read_codes, read_len, lq):
     pos = j3 + k3 * seg_len[None, None, :]
     pre_mask = pos < read_len[None, None, :]
     read_t = read_codes.astype(jnp.int32).T                    # [LQ, P]
-    read_at = jnp.take_along_axis(
-        read_t, jnp.clip(pos, 0, lq - 1).reshape(S * LANES, P),
-        axis=0).reshape(S, LANES, P)
+    read_at = _striped_select(read_t, seg_len, S, lq)
     read_at = jnp.where(pre_mask, read_at, 4)
     return read_at, pre_mask, pos, seg_len
 
@@ -267,12 +299,14 @@ def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
     ref_end = ref_end.astype(jnp.int32)
     query_end = query_end.astype(jnp.int32)
     lq = read_codes.shape[1]
-    # reversed prefix: rev[t] = read[query_end - t] for t <= query_end
+    # reversed prefix: rev[t] = read[query_end - t] for t <= query_end.
+    # Static flip + per-pair row shift (rev[t] = flip[t + lq-1-qe]) —
+    # the old per-pair take_along_axis reversals cost ~18 ns/element and
+    # were most of the reverse pass's device time.
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (lq, 1), 0)
     qe = query_end[None, :]
-    rev_t = jnp.take_along_axis(
-        read_codes.astype(jnp.int32).T, jnp.clip(qe - t_idx, 0, lq - 1),
-        axis=0)
+    flipped = read_codes.astype(jnp.int32).T[::-1]             # [LQ, P]
+    rev_t = _shift_rows_up(flipped, lq - 1 - query_end, jnp.int32(4))
     rev_t = jnp.where(t_idx <= qe, rev_t, 4)                   # [LQ, P]
     rl_rev = query_end + 1
     fl_rev = ref_end + 1
@@ -284,17 +318,15 @@ def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
     k3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 1)
     pos = j3 + k3 * seg_len[None, None, :]
     pre_mask = pos < rl_rev[None, None, :]
-    read_at = jnp.take_along_axis(
-        rev_t, jnp.clip(pos, 0, lq - 1).reshape(S * LANES, P),
-        axis=0).reshape(S, LANES, P)
+    read_at = _striped_select(rev_t, seg_len, S, lq)
     read_at = jnp.where(pre_mask, read_at, 4)
 
     # pre-reverse ref columns per pair: column t of the reverse scan reads
-    # ref[ref_end - t] (one gather here instead of one per column)
-    ref_tc = ref_codes.astype(jnp.int32).T[:n_cols]            # [LR, P]
-    tt = jax.lax.broadcasted_iota(jnp.int32, (n_cols, 1), 0)
-    ref_rev_t = jnp.take_along_axis(
-        ref_tc, jnp.clip(ref_end[None, :] - tt, 0, n_cols - 1), axis=0)
+    # ref[ref_end - t]; same flip + per-pair shift (columns past ref_end
+    # are inactive in the pass, so the fill never reaches a result)
+    ref_flip = ref_codes.astype(jnp.int32).T[:n_cols][::-1]    # [LR, P]
+    ref_rev_t = _shift_rows_up(ref_flip, n_cols - 1 - ref_end,
+                               jnp.int32(4))
     best, end_ref, end_read, _, ovf = _pass_batched(
         read_at, pre_mask, pos, seg_len, ref_rev_t, fl_rev, score1, 1,
         n_cols, False)

@@ -179,8 +179,14 @@ class RegionShardedMapper:
                         genome, opts, segments=segs,
                         build_direct_probe=direct_probe))
 
+    # every region engine supports the fused STEP-2 score+traceback pass
+    # (segment-aware _ensure_genome_s2); the merge below re-selects the
+    # winning region's score/tb rows per read
+    supports_fused_scores = True
+
     def map_reads(self, read_bases: np.ndarray,
-                  read_lengths: np.ndarray) -> CoarseResults:
+                  read_lengths: np.ndarray,
+                  with_scores: bool = False) -> CoarseResults:
         opts = self.opts
         n = len(read_lengths)
         out = CoarseResults(
@@ -207,14 +213,28 @@ class RegionShardedMapper:
             mapper.ensure_empty_drops()
             all_bases, all_lens, all_valid, n_pad = \
                 mapper.stage_reads_device(read_bases, read_lengths)
-            packed_dev, ovf_dev, _ = mapper._map_reads_device(
-                all_bases, all_lens, all_valid, n_pad, opts.batchsize)
-            pending.append((packed_dev, ovf_dev, mapper))
+            if with_scores:
+                packed_dev, ovf_dev, sc_dev, to_dev, ts_dev = \
+                    mapper._map_reads_device_scored(
+                        all_bases, all_lens, all_valid, n_pad,
+                        opts.batchsize)
+                pending.append((packed_dev, ovf_dev, mapper,
+                                (sc_dev, to_dev, ts_dev)))
+            else:
+                packed_dev, ovf_dev, _ = mapper._map_reads_device(
+                    all_bases, all_lens, all_valid, n_pad, opts.batchsize)
+                pending.append((packed_dev, ovf_dev, mapper, None))
 
         # phase 2: fetch per-region results (device work already done or
         # in flight) and merge by the deterministic (hamming, global
         # window ordinal) key
-        for packed_dev, ovf_dev, mapper in pending:
+        win_region = np.full(n, -1, dtype=np.int32)
+        region_scores = []
+        for r_i, (packed_dev, ovf_dev, mapper, sc) in enumerate(pending):
+            if sc is not None:
+                region_scores.append((
+                    np.asarray(sc[0])[:, :2 * n], np.asarray(sc[1])[:2 * n],
+                    np.asarray(sc[2])[:2 * n]))
             packed = np.asarray(packed_dev)[:n]
             ovf = np.asarray(ovf_dev)
             out.stats["probe_overflow"] += int(ovf[0])
@@ -225,6 +245,7 @@ class RegionShardedMapper:
                 mapper, packed, self.chrom_gwin_base)
             better = key < best_key
             best_key = np.where(better, key, best_key)
+            win_region[better] = r_i
             out.orientation[better] = payload[better, 0].astype(np.int8)
             out.hamming[better] = payload[better, 1]
             out.shift[better] = payload[better, 2]
@@ -243,4 +264,23 @@ class RegionShardedMapper:
             f["cuckoo_direct_probe"] for f in fbs)
         out.stats["vote_kernel_fallback"] = max(
             f["vote_kernel_fallback"] for f in fbs)
+        if with_scores:
+            # per-read selection of the winning region's fused STEP-2
+            # score/traceback rows (pair columns 2i, 2i+1 of read i)
+            e = max(t.shape[1] for _, t, _ in region_scores)
+            scores = np.zeros((10, 2 * n), np.int16)
+            tb_ops = np.zeros((2 * n, e), np.uint8)
+            tb_st = np.zeros(2 * n, np.int8)
+            for r_i, (sc, to, ts) in enumerate(region_scores):
+                rows = np.nonzero(win_region == r_i)[0]
+                if len(rows) == 0:
+                    continue
+                cols = np.repeat(2 * rows, 2)
+                cols[1::2] += 1
+                scores[:, cols] = sc[:, cols]
+                tb_ops[cols, :to.shape[1]] = to[cols]
+                tb_st[cols] = ts[cols]
+            if getattr(opts, "step2_device_traceback", True):
+                return out, (scores, tb_ops, tb_st)
+            return out, scores
         return out

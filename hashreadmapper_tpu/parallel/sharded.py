@@ -431,6 +431,57 @@ class ShardedCoarseMapper:
         pool_v = jax.device_put(valid.reshape(n_batches, bsz), pool_sh)
         return pool_b, pool_l, pool_v, n_pad
 
+    # fused STEP-2 score+traceback over the mesh: the tail is pure
+    # data-parallelism (no table-axis communication — the pair scoring
+    # reads only the replicated genome), so it runs as its own shard_map
+    # over "data" with everything else replicated
+    supports_fused_scores = True
+
+    def _ensure_scored_tail(self):
+        if getattr(self, "_scored_tail", None) is None:
+            from ..pipeline.engine import build_genome_s2, fused_step2_scores
+            s2 = build_genome_s2(self.base.genome, self.opts, self.segments)
+            self._genome_s2 = jax.device_put(
+                jnp.asarray(s2), NamedSharding(self.mesh, P()))
+            opts = self.opts
+
+            def tail(chrom_offset, chrom_len, genome_s2, rb, rl, packed):
+                return fused_step2_scores(opts, chrom_offset, chrom_len,
+                                          genome_s2, rb, rl, packed)
+
+            self._scored_tail = jax.jit(_shard_map(
+                tail, self.mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
+                out_specs=(P(None, "data"), P("data"), P("data"))))
+        return self._scored_tail
+
+    def _map_reads_device_scored(self, pool_b, pool_l, pool_v, n_pad: int,
+                                 bsz_unused: int):
+        """Scored variant of _map_reads_device (same contract as
+        CoarseMapper._map_reads_device_scored, so RegionShardedMapper and
+        the pipelined driver can drive either mapper)."""
+        tail = self._ensure_scored_tail()
+        pk, ov, sc, to, ts = [], [], [], [], []
+        for i in range(pool_b.shape[0]):
+            packed, ovf = self._step_at(
+                self.keys, self.offsets, self.values, self.num_keys,
+                self.cuckoo_keys, self.cuckoo_payload,
+                self.dropped_keys, self.dropped_num,
+                self.genome_hi, self.genome_lo, self.win_pos,
+                self.win_chrom, self.chrom_offset, self.chrom_len,
+                self.hash_ids, pool_b, pool_l, pool_v, jnp.int32(i))
+            s, t_o, t_s = tail(self.chrom_offset, self.chrom_len,
+                               self._genome_s2, pool_b[i], pool_l[i],
+                               packed)
+            pk.append(packed)
+            ov.append(ovf)
+            sc.append(s)
+            to.append(t_o)
+            ts.append(t_s)
+        return (jnp.concatenate(pk, axis=0), jnp.stack(ov).sum(axis=0),
+                jnp.concatenate(sc, axis=1), jnp.concatenate(to, axis=0),
+                jnp.concatenate(ts, axis=0))
+
     def _map_reads_device(self, pool_b, pool_l, pool_v, n_pad: int,
                           bsz_unused: int, collect_candidates: bool = False):
         """Dispatch every batch asynchronously; results stay ON DEVICE as
@@ -474,12 +525,22 @@ class ShardedCoarseMapper:
         return stats
 
     def map_reads(self, read_bases: np.ndarray, read_lengths: np.ndarray,
-                  emulate_read_key_drop: bool = True) -> CoarseResults:
+                  emulate_read_key_drop: bool = True,
+                  with_scores: bool = False) -> CoarseResults:
         """Map all reads over the mesh; returns CoarseResults exactly like
         CoarseMapper.map_reads (bs_strand + per-counter stats included), so
-        STEP 2 rescoring — including undirectional PBAT — works unchanged."""
+        STEP 2 rescoring — including undirectional PBAT — works unchanged.
+        with_scores: also return the fused STEP-2 (scores, tb_ops,
+        tb_status) bundle (CoarseMapper.map_reads contract)."""
         opts = self.opts
         n = len(read_lengths)
+        if with_scores and n == 0:
+            empty = np.zeros((10, 0), np.int16)
+            if getattr(opts, "step2_device_traceback", True):
+                empty = (empty, np.zeros((0, 1), np.uint8),
+                         np.zeros((0,), np.int8))
+            return self.map_reads(read_bases, read_lengths,
+                                  emulate_read_key_drop), empty
         if n == 0:
             return CoarseResults(
                 orientation=np.full(0, shd.NONE, dtype=np.int8),
@@ -498,11 +559,23 @@ class ShardedCoarseMapper:
             self.ensure_read_drops(read_bases, read_lengths)
         pool_b, pool_l, pool_v, n_pad = self.stage_reads_device(
             read_bases, read_lengths)
-        packed_dev, ovf_dev, _ = self._map_reads_device(
-            pool_b, pool_l, pool_v, n_pad, opts.batchsize)
+        score_bundle = None
+        if with_scores:
+            packed_dev, ovf_dev, sc_dev, to_dev, ts_dev = \
+                self._map_reads_device_scored(pool_b, pool_l, pool_v, n_pad,
+                                              opts.batchsize)
+            scores = np.asarray(sc_dev)[:, :2 * n]
+            if getattr(opts, "step2_device_traceback", True):
+                score_bundle = (scores, np.asarray(to_dev)[:2 * n],
+                                np.asarray(ts_dev)[:2 * n])
+            else:
+                score_bundle = scores
+        else:
+            packed_dev, ovf_dev, _ = self._map_reads_device(
+                pool_b, pool_l, pool_v, n_pad, opts.batchsize)
         packed = np.asarray(packed_dev)[:n]
         ovf = np.asarray(ovf_dev)
-        return CoarseResults(
+        results = CoarseResults(
             orientation=packed[:, 0].astype(np.int8),
             hamming=packed[:, 1].astype(np.int32),
             shift=packed[:, 2].astype(np.int32),
@@ -515,3 +588,6 @@ class ShardedCoarseMapper:
                    "probe_tail_overflow": int(ovf[3]),
                    **self._fallback_stats()},
             bs_strand=packed[:, 6].astype(np.int8))
+        if with_scores:
+            return results, score_bundle
+        return results

@@ -54,22 +54,109 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
     # with the next chunk's coarse mapping)
     fused = (getattr(mapper, "supports_fused_scores", False)
              and getattr(opts, "step2_device", False) and native.available())
+    # dispatch-ahead streaming (plain engine only): enqueue EVERY scored
+    # batch up front, then fetch per-chunk slices in order — the per-chunk
+    # D2H overlaps the later batches' device compute instead of
+    # serializing after it (each fetch costs ~25 ms RTT + ~36 MB/s here)
+    stream = fused and isinstance(mapper, CoarseMapper)
+    if stream:
+        bsz = opts.batchsize
+        n_pad = ((n + bsz - 1) // bsz) * bsz
+        stream = (chunk % bsz == 0
+                  and mapper.read_pool_size(n, bases.shape[1], bsz) >= n_pad)
     from .records import MappingRecords
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = []
-        for c0 in range(0, n, chunk):
-            c1 = min(c0 + chunk, n)
-            if fused:
-                res, scores = mapper.map_reads(
-                    bases[c0:c1], reads.lengths[c0:c1], with_scores=True)
-            else:
-                res = mapper.map_reads(bases[c0:c1], reads.lengths[c0:c1])
-                scores = None
-            res_parts.append(res)
-            futs.append((c0, c1, ex.submit(
-                mapping.run_cssw, genome, genome_rc, res.orientation,
-                res.position, res.chromosome_id, reads.slice_rows(c0, c1),
-                opts, res.bs_strand, scores, True)))
+        if stream:
+            import jax.numpy as jnp
+            if mapper.dropped is None:
+                mapper.ensure_empty_drops()
+            ab, al, av, n_pad = mapper.stage_reads_device(bases,
+                                                          reads.lengths)
+            use_tb = getattr(opts, "step2_device_traceback", True)
+            b8 = lambda a: __import__("jax").lax.bitcast_convert_type(
+                a, jnp.uint8)
+
+            # per chunk: dispatch its batches, then enqueue ONE combined
+            # uint8 bundle right behind them — the bundle's FIFO position
+            # means fetching chunk i waits only for chunk i's compute, and
+            # a single fetch pays a single ~25 ms roundtrip
+            bundles = []
+            ovf_parts = []
+            n_chunks = 0
+            for c0 in range(0, n_pad, chunk):
+                c1 = min(c0 + chunk, n_pad)
+                pk, sc, to, ts = [], [], [], []
+                for s in range(c0, c1, bsz):
+                    p, o, s16, t_o, t_s = mapper._map_batch_scored_at(
+                        ab, al, av, jnp.int32(s), bsz,
+                        mapper.dropped[0], mapper.dropped[1])
+                    pk.append(p)
+                    ovf_parts.append(o)
+                    sc.append(s16)
+                    to.append(t_o)
+                    ts.append(t_s)
+                c = c1 - c0
+                row = [b8(jnp.concatenate(pk)).reshape(c, 28),
+                       b8(jnp.concatenate(sc, axis=1).T).reshape(c, 40)]
+                if use_tb:
+                    e = to[0].shape[1]
+                    row.append(jnp.concatenate(to).reshape(c, 2 * e))
+                    row.append(b8(jnp.concatenate(ts)).reshape(c, 2))
+                bundles.append(jnp.concatenate(row, axis=1))
+                n_chunks += 1
+
+            for ci, c0 in enumerate(range(0, n, chunk)):
+                c1 = min(c0 + chunk, n)
+                buf = np.asarray(bundles[ci])[:c1 - c0]
+                c = c1 - c0
+                packed = buf[:, :28].copy().view(np.int32).reshape(c, 7)
+                scores = (buf[:, 28:68].copy().view(np.int16)
+                          .reshape(2 * c, 10).T)
+                if use_tb:
+                    e = (buf.shape[1] - 70) // 2
+                    tb_ops = buf[:, 68:68 + 2 * e].reshape(2 * c, e)
+                    tb_st = (buf[:, 68 + 2 * e:].copy().view(np.int8)
+                             .reshape(2 * c))
+                    scores = (scores, tb_ops, tb_st)
+                res = CoarseResults(
+                    orientation=packed[:, 0].astype(np.int8),
+                    hamming=packed[:, 1].astype(np.int32),
+                    shift=packed[:, 2].astype(np.int32),
+                    chromosome_id=packed[:, 3].astype(np.int32),
+                    position=packed[:, 4].astype(np.int32),
+                    global_window_id=packed[:, 5].astype(np.uint32),
+                    stats={},
+                    bs_strand=packed[:, 6].astype(np.int8))
+                res_parts.append(res)
+                futs.append((c0, c1, ex.submit(
+                    mapping.run_cssw, genome, genome_rc, res.orientation,
+                    res.position, res.chromosome_id,
+                    reads.slice_rows(c0, c1), opts, res.bs_strand, scores,
+                    True)))
+            ovf = np.asarray(jnp.stack(ovf_parts).sum(axis=0))
+            res_parts[0].stats = {
+                "probe_overflow": int(ovf[0]), "vote_overflow": int(ovf[1]),
+                "pair_budget_overflow": int(ovf[2]),
+                "probe_tail_overflow": int(ovf[3]),
+                **mapper._fallback_stats()}
+        else:
+            for c0 in range(0, n, chunk):
+                c1 = min(c0 + chunk, n)
+                if fused:
+                    res, scores = mapper.map_reads(
+                        bases[c0:c1], reads.lengths[c0:c1],
+                        with_scores=True)
+                else:
+                    res = mapper.map_reads(bases[c0:c1],
+                                           reads.lengths[c0:c1])
+                    scores = None
+                res_parts.append(res)
+                futs.append((c0, c1, ex.submit(
+                    mapping.run_cssw, genome, genome_rc, res.orientation,
+                    res.position, res.chromosome_id,
+                    reads.slice_rows(c0, c1), opts, res.bs_strand, scores,
+                    True)))
         parts = []
         for c0, c1, f in futs:
             parts.append((c0, f.result()))

@@ -286,6 +286,108 @@ def window_bases_device(genome_concat: jnp.ndarray, gstart: jnp.ndarray,
     return jnp.take(genome_concat, idx.reshape(-1)).reshape(idx.shape)
 
 
+def build_genome_s2(genome: Genome, opts: ProgramOptions,
+                    segments=None) -> np.ndarray:
+    """[G/8] uint32 nibble-packed STEP-2 genome codes 0..4 (N preserved).
+
+    With segments the staged spans and virtual chromosome offsets
+    replicate build_window_table's exactly, so table.chrom_offset indexes
+    this array too (STEP-2 windows [pos, pos+ws) always lie inside a
+    segment's staged span — segment_base_span covers last window + ws)."""
+    from ..align import sw as _sw
+    if segments is not None:
+        from ..parallel.segments import segment_base_span
+        margin = opts.max_read_length
+        parts = []
+        for seg in segments:
+            lo, hi = segment_base_span(genome, opts, seg, margin)
+            parts.append(_sw.TRANSLATE[
+                np.asarray(genome.seqs_ascii[seg.chrom_id])[lo:hi]])
+    else:
+        parts = [_sw.TRANSLATE[np.asarray(a)] for a in genome.seqs_ascii]
+    codes = np.concatenate(parts).astype(np.uint32)
+    pad = (-len(codes)) % 8
+    if pad:
+        codes = np.concatenate([codes, np.full(pad, 4, np.uint32)])
+    packed = np.zeros(len(codes) // 8, np.uint32)
+    for j in range(8):
+        packed |= codes[j::8] << (4 * j)
+    return packed
+
+
+def fused_step2_scores(opts, chrom_offset, chrom_len, genome_s2,
+                       read_bases, read_len, packed):
+    """Traced tail of the scored step: build the STEP-2 3N pairs from the
+    coarse results, run the device score pass, and (by default) the banded
+    CIGAR traceback — everything in the caller's dispatch.  Pair layout
+    and 3N/strand handling mirror pipeline/mapping.py::_run_cssw_device
+    exactly (pairs [2i] = 3N query, [2i+1] = 3N RC query, same 3N window
+    ref; PBAT G->A collapse only for strand==1 FORWARD reads).  Returns
+    (scores [10, 2B] int16, tb_ops [2B, E] uint8, tb_status [2B] int8)."""
+    from ..ops import encode, swdev
+    ws = opts.window_size
+    b, lq = read_bases.shape
+    ori = packed[:, 0]
+    chrom = packed[:, 3]
+    pos = packed[:, 4]
+    strand = packed[:, 6]
+    rc = encode.revcomp_bases(read_bases, read_len)
+    is_rc = (ori == 2)[:, None]
+    fwd = jnp.where(is_rc, rc, read_bases)
+    rcq = jnp.where(is_rc, read_bases, rc)
+    sc = ((strand != 0) & (ori == 1))[:, None]
+
+    def collapse(m):
+        ct = jnp.where(m == 1, jnp.int8(3), m)
+        if not opts.undirectional:
+            return ct
+        ga = jnp.where(m == 2, jnp.int8(0), m)
+        return jnp.where(sc, ga, ct)
+
+    clen = jnp.take(chrom_len, chrom)
+    wl = jnp.where(pos + ws < clen, ws, clen - pos).astype(jnp.int32)
+    base = jnp.take(chrom_offset, chrom).astype(jnp.int32) + pos
+    # packed-nibble window gather + 3-step barrel realign (no per-base
+    # gather): words w0..w0+ws/8 then shift by (base & 7) nibbles
+    nw = ws // 8 + 1
+    w0 = base >> 3
+    widx = jnp.minimum(w0[:, None] + jnp.arange(nw, dtype=jnp.int32),
+                       genome_s2.shape[0] - 1)
+    words = jnp.take(genome_s2, widx.reshape(-1)).reshape(b, nw)
+    shifts = (jnp.arange(nw * 8, dtype=jnp.uint32) % 8 * 4)[None, :]
+    codes = (jnp.repeat(words, 8, axis=1) >> shifts) & 0xF
+    off = (base & 7)[:, None]
+    for s in (4, 2, 1):
+        codes = jnp.where((off & s).astype(bool),
+                          jnp.roll(codes, -s, axis=1), codes)
+    win = codes[:, :ws].astype(jnp.int8)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (b, ws), 1)
+    win = jnp.where(iw < wl[:, None], win, jnp.int8(4))
+    q3n = collapse(fwd)
+    rcq3n = collapse(rcq)
+    ref3n = collapse(win)
+    pair_q = jnp.stack([q3n, rcq3n], axis=1).reshape(2 * b, lq)
+    pair_ref = jnp.repeat(ref3n, 2, axis=0)
+    rl32 = read_len.astype(jnp.int32)
+    pair_rl = jnp.repeat(rl32, 2)
+    pair_fl = jnp.repeat(wl, 2)
+    pair_ml = jnp.repeat(jnp.maximum(15, rl32 // 2), 2)
+    packed10 = swdev.ssw_score_packed(pair_q, pair_rl, pair_ref,
+                                      pair_fl, pair_ml, ws)
+    if getattr(opts, "step2_device_traceback", True):
+        # the banded CIGAR traceback runs in the SAME dispatch (the
+        # standalone tb roundtrip paid ~80 ms/chunk of H2D+D2H+RTT on
+        # this transport); uint8 run-length entries keep the extra
+        # D2H to n_entries bytes/pair
+        from ..ops import bandtb
+        tb_ops, tb_status = bandtb.fused_traceback(pair_q, pair_ref,
+                                                   packed10)
+    else:
+        tb_ops = jnp.zeros((2 * b, 1), jnp.uint8)
+        tb_status = jnp.zeros((2 * b,), jnp.int8)
+    return packed10.astype(jnp.int16), tb_ops, tb_status
+
+
 class CoarseMapper:
     def __init__(self, genome: Genome, opts: ProgramOptions,
                  sig_batch: int = 4096, load_index_from: str = "",
@@ -625,81 +727,14 @@ class CoarseMapper:
         nibbles: the window gather fetches ws/8 + 1 words per read instead
         of ws bases (XLA gathers cost ~18 ns/element here)."""
         if getattr(self, "_genome_s2", None) is None:
-            assert self.segments is None, (
-                "fused STEP-2 scoring is only wired for the plain mapper")
-            from ..align import sw as _sw
-            parts = [_sw.TRANSLATE[np.asarray(a)]
-                     for a in self.genome.seqs_ascii]
-            codes = np.concatenate(parts).astype(np.uint32)
-            pad = (-len(codes)) % 8
-            if pad:
-                codes = np.concatenate([codes, np.full(pad, 4, np.uint32)])
-            packed = np.zeros(len(codes) // 8, np.uint32)
-            for j in range(8):
-                packed |= codes[j::8] << (4 * j)
-            self._genome_s2 = jnp.asarray(packed)
+            self._genome_s2 = jnp.asarray(
+                build_genome_s2(self.genome, self.opts, self.segments))
         return self._genome_s2
 
     def _step2_scores(self, chrom_offset, chrom_len, genome_s2,
                       read_bases, read_len, packed):
-        """Traced tail of the scored step: build the STEP-2 3N pairs from
-        the coarse results and run the device score pass.  Pair layout and
-        3N/strand handling mirror pipeline/mapping.py::_run_cssw_device
-        exactly (pairs [2i] = 3N query, [2i+1] = 3N RC query, same 3N
-        window ref; PBAT G->A collapse only for strand==1 FORWARD reads).
-        Returns [10, 2B] int16 (the ssw_score_packed rows + diag)."""
-        from ..ops import encode, swdev
-        opts = self.opts
-        ws = opts.window_size
-        b, lq = read_bases.shape
-        ori = packed[:, 0]
-        chrom = packed[:, 3]
-        pos = packed[:, 4]
-        strand = packed[:, 6]
-        rc = encode.revcomp_bases(read_bases, read_len)
-        is_rc = (ori == 2)[:, None]
-        fwd = jnp.where(is_rc, rc, read_bases)
-        rcq = jnp.where(is_rc, read_bases, rc)
-        sc = ((strand != 0) & (ori == 1))[:, None]
-
-        def collapse(m):
-            ct = jnp.where(m == 1, jnp.int8(3), m)
-            if not opts.undirectional:
-                return ct
-            ga = jnp.where(m == 2, jnp.int8(0), m)
-            return jnp.where(sc, ga, ct)
-
-        clen = jnp.take(chrom_len, chrom)
-        wl = jnp.where(pos + ws < clen, ws, clen - pos).astype(jnp.int32)
-        base = jnp.take(chrom_offset, chrom).astype(jnp.int32) + pos
-        # packed-nibble window gather + 3-step barrel realign (no per-base
-        # gather): words w0..w0+ws/8 then shift by (base & 7) nibbles
-        nw = ws // 8 + 1
-        w0 = base >> 3
-        widx = jnp.minimum(w0[:, None] + jnp.arange(nw, dtype=jnp.int32),
-                           genome_s2.shape[0] - 1)
-        words = jnp.take(genome_s2, widx.reshape(-1)).reshape(b, nw)
-        shifts = (jnp.arange(nw * 8, dtype=jnp.uint32) % 8 * 4)[None, :]
-        codes = (jnp.repeat(words, 8, axis=1) >> shifts) & 0xF
-        off = (base & 7)[:, None]
-        for s in (4, 2, 1):
-            codes = jnp.where((off & s).astype(bool),
-                              jnp.roll(codes, -s, axis=1), codes)
-        win = codes[:, :ws].astype(jnp.int8)
-        iw = jax.lax.broadcasted_iota(jnp.int32, (b, ws), 1)
-        win = jnp.where(iw < wl[:, None], win, jnp.int8(4))
-        q3n = collapse(fwd)
-        rcq3n = collapse(rcq)
-        ref3n = collapse(win)
-        pair_q = jnp.stack([q3n, rcq3n], axis=1).reshape(2 * b, lq)
-        pair_ref = jnp.repeat(ref3n, 2, axis=0)
-        rl32 = read_len.astype(jnp.int32)
-        pair_rl = jnp.repeat(rl32, 2)
-        pair_fl = jnp.repeat(wl, 2)
-        pair_ml = jnp.repeat(jnp.maximum(15, rl32 // 2), 2)
-        packed10 = swdev.ssw_score_packed(pair_q, pair_rl, pair_ref,
-                                          pair_fl, pair_ml, ws)
-        return packed10.astype(jnp.int16)
+        return fused_step2_scores(self.opts, chrom_offset, chrom_len,
+                                  genome_s2, read_bases, read_len, packed)
 
     @partial(jax.jit, static_argnames=("self", "bsz"))
     def _map_batch_scored_at_impl(self, index_keys, index_offsets,
@@ -718,9 +753,9 @@ class CoarseMapper:
             genome_hi, genome_lo, win_pos, win_chrom,
             chrom_offset, chrom_len, hash_ids,
             chunk, lens, valid, dropped_keys, dropped_num)
-        scores16 = self._step2_scores(chrom_offset, chrom_len, genome_s2,
-                                      chunk, lens, packed)
-        return packed, overflow, scores16
+        scores16, tb_ops, tb_status = self._step2_scores(
+            chrom_offset, chrom_len, genome_s2, chunk, lens, packed)
+        return packed, overflow, scores16, tb_ops, tb_status
 
     def _map_batch_scored_at(self, all_bases, all_lens, all_valid, start,
                              bsz, dropped_keys, dropped_num):
@@ -762,6 +797,26 @@ class CoarseMapper:
         all_packed_dev = jnp.concatenate(packed_batches, axis=0)
         overflow_dev = jnp.stack(overflow_batches).sum(axis=0)
         return all_packed_dev, overflow_dev, cand_batches
+
+    def _map_reads_device_scored(self, all_bases, all_lens, all_valid,
+                                 n_pad: int, bsz: int):
+        """Scored+traceback variant of _map_reads_device: dispatch all
+        batches async; everything stays ON DEVICE (callers fetch once).
+        Returns (packed [n_pad, 7], overflow [4], scores [10, 2*n_pad]
+        int16, tb_ops [2*n_pad, E] uint8, tb_status [2*n_pad] int8)."""
+        pk, ov, sc, to, ts = [], [], [], [], []
+        for start in range(0, n_pad, bsz):
+            p, o, s, t_o, t_s = self._map_batch_scored_at(
+                all_bases, all_lens, all_valid, jnp.int32(start), bsz,
+                self.dropped[0], self.dropped[1])
+            pk.append(p)
+            ov.append(o)
+            sc.append(s)
+            to.append(t_o)
+            ts.append(t_s)
+        return (jnp.concatenate(pk, axis=0), jnp.stack(ov).sum(axis=0),
+                jnp.concatenate(sc, axis=1), jnp.concatenate(to, axis=0),
+                jnp.concatenate(ts, axis=0))
 
     def stage_reads_device(self, read_bases: np.ndarray,
                            read_lengths: np.ndarray):
@@ -900,9 +955,12 @@ class CoarseMapper:
         opts = self.opts
         n, lr = read_bases.shape
         if with_scores and n == 0:
+            empty = np.zeros((10, 0), np.int16)
+            if getattr(opts, "step2_device_traceback", True):
+                empty = (empty, np.zeros((0, 1), np.uint8),
+                         np.zeros((0,), np.int8))
             return self.map_reads(read_bases, read_lengths, precomputed_sigs,
-                                  emulate_read_key_drop), \
-                np.zeros((10, 0), np.int16)
+                                  emulate_read_key_drop), empty
         if n == 0:
             return CoarseResults(
                 orientation=np.full(0, shd.NONE, dtype=np.int8),
@@ -951,15 +1009,19 @@ class CoarseMapper:
         packed_parts = []
         overflow_parts = []
         score_parts = []
+        tb_parts = []
         cand_all = []
         pending = None
 
         def fetch(chunk):
-            packed_dev, overflow_dev, chunk_n, cand_batches, score_dev = chunk
+            (packed_dev, overflow_dev, chunk_n, cand_batches, score_dev,
+             tb_dev) = chunk
             packed_parts.append(np.asarray(packed_dev)[:chunk_n])
             overflow_parts.append(np.asarray(overflow_dev))
             if score_dev is not None:
                 score_parts.append(np.asarray(score_dev)[:, :2 * chunk_n])
+                tb_parts.append((np.asarray(tb_dev[0])[:2 * chunk_n],
+                                 np.asarray(tb_dev[1])[:2 * chunk_n]))
             if collect_candidates:
                 cand_all.append((
                     np.asarray(jnp.concatenate(
@@ -972,27 +1034,21 @@ class CoarseMapper:
             all_bases, all_lens, all_valid, n_pad = self.stage_reads_device(
                 read_bases[c0:c1], read_lengths[c0:c1])
             if with_scores:
-                pk, ov, sc = [], [], []
-                for start in range(0, n_pad, bsz):
-                    p, o, s = self._map_batch_scored_at(
-                        all_bases, all_lens, all_valid, jnp.int32(start),
-                        bsz, self.dropped[0], self.dropped[1])
-                    pk.append(p)
-                    ov.append(o)
-                    sc.append(s)
-                packed_dev = jnp.concatenate(pk, axis=0)
-                overflow_dev = jnp.stack(ov).sum(axis=0)
-                score_dev = jnp.concatenate(sc, axis=1)
+                (packed_dev, overflow_dev, score_dev, tb_ops_dev,
+                 tb_status_dev) = self._map_reads_device_scored(
+                    all_bases, all_lens, all_valid, n_pad, bsz)
+                tb_dev = (tb_ops_dev, tb_status_dev)
                 cand_batches = []
             else:
                 packed_dev, overflow_dev, cand_batches = \
                     self._map_reads_device(all_bases, all_lens, all_valid,
                                            n_pad, bsz, collect_candidates)
                 score_dev = None
+                tb_dev = None
             if pending is not None:
                 fetch(pending)
             pending = (packed_dev, overflow_dev, c1 - c0, cand_batches,
-                       score_dev)
+                       score_dev, tb_dev)
         fetch(pending)
         all_packed = (np.concatenate(packed_parts)
                       if len(packed_parts) > 1 else packed_parts[0])
@@ -1017,5 +1073,11 @@ class CoarseMapper:
         if with_scores:
             all_scores = (np.concatenate(score_parts, axis=1)
                           if len(score_parts) > 1 else score_parts[0])
+            if getattr(self.opts, "step2_device_traceback", True):
+                tb_ops = np.concatenate([t for t, _ in tb_parts]) \
+                    if len(tb_parts) > 1 else tb_parts[0][0]
+                tb_status = np.concatenate([s for _, s in tb_parts]) \
+                    if len(tb_parts) > 1 else tb_parts[0][1]
+                return results, (all_scores, tb_ops, tb_status)
             return results, all_scores
         return results

@@ -615,6 +615,13 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             fail_all[sub] = status[:len(sub)]
 
     pending = []
+    pre_tb = None
+    if isinstance(pre_scores, tuple):
+        # fully fused path: the coarse step also ran the banded traceback
+        # in the same dispatch (engine._step2_scores -> bandtb.
+        # fused_traceback); unpack (scores, tb_ops uint8, tb_status)
+        pre_scores, pre_tb_ops, pre_tb_status = pre_scores
+        pre_tb = (pre_tb_ops, pre_tb_status)
     if pre_scores is not None:
         # fused path: the coarse step already scored every (read x 2)
         # pair on device (engine._step2_scores); select the mapped reads'
@@ -630,7 +637,15 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
         dev["host_fallback"] = sp[8] != 0
         dev["degenerate"] = (sp[0] == 0) | (sp[1] < 0)
         dev["diag"] = sp[9] != 0
-        tb_fused = tb_dispatch(0, P)
+        if use_tb and pre_tb is not None and pre_tb[0].shape[1] > 1:
+            # device walk came back with the scores: uint8 run-length
+            # entries (same op|len<<2 encoding, runs split at 63 — the
+            # native finish merges adjacent same-op runs)
+            ops_all = pre_tb[0][idx].astype(np.int16)
+            fail_all = pre_tb[1][idx].astype(np.int8)
+            tb_fused = []
+        else:
+            tb_fused = tb_dispatch(0, P)
     else:
         for s in range(0, P, chunk):
             e = min(s + chunk, P)
@@ -829,8 +844,10 @@ def _run_cssw_device(genome: Genome, genome_rc: Genome,
             aa.num_conversions = [conv_l[2 * i], conv_l[2 * i + 1]]
         _mark("rescore")
         if _marks is not None:
+            import sys as _sys
             for (l0, t0), (l1, t1) in zip(_marks, _marks[1:]):
-                print(f"STEP2 {l1}: {t1 - t0:.3f}s", flush=True)
+                print(f"STEP2 {l1}: {t1 - t0:.3f}s", file=_sys.stderr,
+                      flush=True)
         return out
 
     for aa in out:
@@ -952,8 +969,10 @@ def _assemble_records(n, lq, ws, nm, m, orientation, position, chromosome_id,
     flag1[m] = flags_all[1::2]
     flag0[orientation == NONE] = 0x4
     if _marks is not None:
+        import sys as _sys
         for (l0, t0), (l1, t1) in zip(_marks, _marks[1:]):
-            print(f"STEP2 {l1}: {t1 - t0:.3f}s", flush=True)
+            print(f"STEP2 {l1}: {t1 - t0:.3f}s", file=_sys.stderr,
+                  flush=True)
     return MappingRecords(
         n=n, lq=lq, ws=ws, q=q_ascii, q_len=lens32.astype(np.int32),
         win=win, win_len=wlens.astype(np.int32),
