@@ -140,8 +140,11 @@ def main():
     rng = np.random.default_rng(0)
     genome_len = 8_000_000
     read_len = 100
-    batch = 2048
-    n_reads = batch * 24
+    # batch 4096 (vs the CLI-default 2048): fewer dispatches amortize the
+    # per-dispatch overhead on this transport; results are per-read
+    # identical (budgets scale with the batch)
+    batch = 4096
+    n_reads = batch * 12
 
     def opts_for(three_n):
         return ProgramOptions(

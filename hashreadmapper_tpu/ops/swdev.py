@@ -77,14 +77,9 @@ def _pass_batched(read_at, pre_mask, pos, seg_len, ref_t, ref_len,
     P = read_at.shape[2]
     j_col = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0)
     arow = j_col < seg_len[None, None, :]                    # [S,1,P]
-    kk_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1, 1), 0) + 1
-    src = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-           - jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0) - 1)
-    src_clip = jnp.clip(src, 0, LANES - 1)
-    src_ok = (src >= 0)[:, :, None]
     # gather-free row selections: one-hot masks (TPU gathers are slow)
     oh_last = (j_col == jnp.maximum(seg_len - 1, 0)[None, None, :])  # [S,1,P]
-    kk_iota3 = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1, 1), 0)
+    kk2 = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
 
     def column(h_prev, e_old, ref_base):
         """One column; ref_base [P].  Returns (h_fin, e_new, colmax)."""
@@ -116,31 +111,27 @@ def _pass_batched(read_at, pre_mask, pos, seg_len, ref_t, ref_len,
         vf_init = jnp.maximum(
             run_last - GAP_OPEN - (seg_len - 1)[None, :], 0)  # [16,P]
 
-        # lazy-F closed form
-        vi = jnp.where(src_ok, vf_init[src_clip], 0)          # [16,16,P]
-        base = vi - (kk_i - 1) * seg_len[None, None, :]
-        cbase = jax.lax.cummax(base, axis=0)
-        t_thr = jnp.where(base >= cbase - 1, base + 2, -_BIG)
-        m3 = jnp.maximum(h_main + j_col, j_col + 3)           # [S,16,P]
-        # stop[kk,j] = NOT any_k( T[kk,k] > M[j,k] ): no lane can still
-        # improve H, the lazy loop's early exit
-        r4 = t_thr[:, None, :, :] - m3[None, :, :, :]         # [16,S,16,P]
-        cond = (jnp.max(r4, axis=2) <= 0) & arow[None, :, 0, :]  # [16,S,P]
-
-        flat = cond.reshape(LANES * S, P)
-        has_stop = jnp.any(flat, axis=0)
-        first = jnp.argmax(flat, axis=0).astype(jnp.int32)    # [P]
-        kk_s = first // S
-        j_s = first % S
-        oh_kk = kk_iota3 == kk_s[None, None, :]               # [16,1,P]
-        oh_kkp = kk_iota3 == (kk_s - 1)[None, None, :]
-        cb_stop = jnp.sum(jnp.where(oh_kk, cbase, 0), axis=0)   # [16,P]
-        cb_prev = jnp.sum(jnp.where(oh_kkp, cbase, 0), axis=0)
-        merge = jnp.where(j_col <= j_s[None, None, :],
-                          cb_stop[None], cb_prev[None])       # [S,16,P]
-        merge = jnp.where(has_stop[None, None, :], merge, cbase[LANES - 1])
+        # lazy-F, full propagation.  Farrar's early exit is EXACT: when it
+        # fires (all lanes vF <= max(h - gapO, 0) at some row), every
+        # correction the remaining passes would apply is dominated by the
+        # main loop's F chain seeded from that h (gapO >= gapE), so the
+        # final h equals running all LANES-1 passes to completion.  The
+        # completed propagation collapses to a per-lane cummax: the source
+        # lane s reaches lane k after k-s passes with decay
+        # (k-s-1)*segLen + j, hence
+        #   corr[j, k] = max_{s<k}(vf_init[s] + s*segLen)
+        #                - (k-1)*segLen - j.
+        # (Replaces the exit-point search, which built a [16,S,16,P]
+        # tensor per column and dominated the pass; bit-identical —
+        # goldens + adversarial fuzz in tests/test_swdev.py.)
+        g2 = vf_init + kk2 * seg_len[None, :]                 # [16,P]
+        cmax = jax.lax.cummax(g2, axis=0)
+        prev = jnp.concatenate(
+            [jnp.full((1, P), -_BIG, jnp.int32), cmax[:-1]], axis=0)
+        corr = prev - (kk2 - 1) * seg_len[None, :]            # [16,P]
         h_fin = jnp.where(
-            arow, jnp.maximum(h_main, jnp.maximum(merge - j_col, 0)), 0)
+            arow, jnp.maximum(h_main, jnp.maximum(corr[None] - j_col, 0)),
+            0)
         colmax = jnp.max(h_fin, axis=(0, 1))
         return h_fin, e_new, colmax
 

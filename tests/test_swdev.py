@@ -73,6 +73,48 @@ def test_forward_pass_bit_exact():
         assert out["ref_end2"][i] == ref_end2, i
 
 
+def test_forward_pass_lazy_f_adversarial():
+    """Gap-heavy and low-complexity pairs — maximal lazy-F activity.
+
+    Pins the full-propagation lazy-F formulation (Farrar's early exit is
+    exact, see swdev._pass_batched) against the oracle's faithful
+    exit-emulating scalar simulation."""
+    rng = np.random.default_rng(11)
+    n, lq, ncols = 96, 128, 128
+    rl = rng.integers(1, 101, n).astype(np.int32)
+    fl = rng.integers(1, 129, n).astype(np.int32)
+    q = rng.integers(0, 5, (n, lq)).astype(np.int8)
+    r = rng.integers(0, 5, (n, ncols)).astype(np.int8)
+    base = rng.integers(0, 4, 300).astype(np.int8)
+    for p in range(n):
+        if p % 3 == 0:
+            # shared substring with a spliced indel (strong F chains)
+            o1 = int(rng.integers(0, 150))
+            o2 = int(rng.integers(0, 150))
+            q[p, :rl[p]] = base[o1:o1 + rl[p]]
+            r[p, :fl[p]] = base[o2:o2 + fl[p]]
+            cut = int(rng.integers(0, max(1, rl[p])))
+            ins = int(rng.integers(0, 30))
+            q[p, cut:rl[p]] = base[o1 + cut + ins:o1 + rl[p] + ins]
+        elif p % 3 == 1:
+            # low-complexity: F wins constantly
+            q[p] = rng.integers(0, 2, lq)
+            r[p] = rng.integers(0, 2, ncols)
+    masks = np.maximum(15, rl // 2).astype(np.int32)
+    out = swdev.ssw_forward_batch(q, rl, fc := r, fl, masks, ncols)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for i in range(n):
+        best, end_ref, end_read, _, _ = sw._striped_pass(
+            q[i, :rl[i]], r[i, :fl[i]], 0, sw.SCORE_MATRIX, sw.GAP_OPEN,
+            sw.GAP_EXTEND, terminate=255, byte_mode=True)
+        if best == 255:
+            assert out["overflowed"][i]
+            continue
+        assert out["score1"][i] == best, i
+        assert out["ref_end"][i] == end_ref, i
+        assert out["query_end"][i] == end_read, i
+
+
 def test_full_alignment_vs_host_oracle():
     """Device fwd+rev == ssw_align's score fields on realistic 3N pairs."""
     rng = np.random.default_rng(11)
