@@ -179,11 +179,11 @@ def main():
     opts3.step2_pipeline_chunk = 8192
     padded = np.pad(reads, ((0, 0), (0, opts3.max_read_length - read_len))
                     ).astype(np.int8)
-    # warm the STEP-2 kernels + chunk-shaped coarse pool so the e2e number
-    # reflects steady state, not remote-compile
-    _pipelined_sw(mapper, padded[:opts3.step2_pipeline_chunk],
-                  store.slice_rows(0, opts3.step2_pipeline_chunk),
-                  genome, genome_rc, opts3)
+    # warm the STEP-2 kernels at the FULL read-pool shape: the streaming
+    # path's staged pool is an argument shape, so an 8192-read warm pass
+    # leaves every full-size kernel cold and rep 0 pays the compiles
+    # (observed: 11.3 s rep 0 vs 1.7 s rep 1)
+    _pipelined_sw(mapper, padded, store, genome, genome_rc, opts3)
     from hashreadmapper_tpu.pipeline.records import (MappingRecords,
                                                      emit_sam, emit_vcf)
     e2e_rates = []

@@ -1,0 +1,118 @@
+"""1M-read end-to-end run: pipelined records-mode driver -> SAM + VCF.
+
+Round-3 verdict item #4: the reference's production shape is 10M reads
+(reference: scriptJob:10-17); the largest e2e previously timed here was
+49,152 reads.  This run exercises MappingRecords.concat, the int32 cigar
+offsets, the bulk native SAM/VCF emitters, and host memory behavior at
+>=1M reads on the real chip.
+
+Usage: python benchmarks/e2e_million.py [n_reads] [genome_mbp]
+Defaults: 1,048,576 reads, 32 Mbp genome (3N config, 90% C->T, 50% RC).
+Prints one summary line; details to stderr.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from hashreadmapper_tpu.config import ProgramOptions
+    from hashreadmapper_tpu.io.genome import Genome
+    from hashreadmapper_tpu.io.readstore import ReadStorage, pack_rows
+    from hashreadmapper_tpu.pipeline.driver import _pipelined_sw
+    from hashreadmapper_tpu.pipeline.engine import CoarseMapper
+    from hashreadmapper_tpu.pipeline.records import (MappingRecords,
+                                                     emit_sam, emit_vcf)
+
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
+    genome_mbp = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    read_len = 100
+    batch = 4096
+    n_reads = (n_reads // batch) * batch
+
+    log(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(11)
+    g_len = genome_mbp * 1_000_000
+    t0 = time.perf_counter()
+    chrom_bases = rng.integers(0, 4, size=g_len, dtype=np.int8)
+    chrom = (np.frombuffer(b"ACGT", dtype=np.uint8)[
+        chrom_bases.astype(np.uint8)]).tobytes().decode("ascii")
+    genome = Genome([f"chr{genome_mbp}M"], [chrom])
+    genome_rc = genome.reverse_complement()
+    starts = rng.integers(0, g_len - read_len, size=n_reads)
+    reads = chrom_bases[starts[:, None] + np.arange(read_len)[None, :]].copy()
+    sub = rng.random(reads.shape) < 0.005
+    reads[sub] = rng.integers(0, 4, size=int(sub.sum()))
+    rc = rng.random(n_reads) < 0.5
+    reads[rc] = 3 - reads[rc][:, ::-1]
+    conv = (reads == 1) & (rng.random(reads.shape) < 0.9)
+    reads[conv] = 3
+    log(f"synth {genome_mbp} Mbp genome + {n_reads:,} BS reads: "
+        f"{time.perf_counter()-t0:.1f}s")
+
+    opts = ProgramOptions(
+        kmer_length=16, num_hash_functions=16, window_size=128,
+        min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
+        probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
+        threads=4, three_n_seeding=True,
+        shd_pairs_per_read_budget=4, probe_tail_budget_per_read=4)
+    opts.step2_pipeline_chunk = 16384
+
+    t0 = time.perf_counter()
+    mapper = CoarseMapper(genome, opts)
+    t_build = time.perf_counter() - t0
+    log(f"index build: {t_build:.1f}s, "
+        f"{mapper.index.memory_bytes()/1e6:.0f} MB, "
+        f"{mapper.table.num_windows} windows")
+
+    lengths = np.full(n_reads, read_len, np.int32)
+    store = ReadStorage(pack_rows(reads, lengths, (read_len + 15) // 16),
+                        lengths, np.zeros(n_reads, bool))
+    padded = np.pad(reads, ((0, 0), (0, opts.max_read_length - read_len))
+                    ).astype(np.int8)
+
+    # warm chunk-shaped kernels so the timed run reflects steady state
+    _pipelined_sw(mapper, padded[:opts.step2_pipeline_chunk],
+                  store.slice_rows(0, opts.step2_pipeline_chunk),
+                  genome, genome_rc, opts)
+
+    t0 = time.perf_counter()
+    results, aas = _pipelined_sw(mapper, padded, store, genome, genome_rc,
+                                 opts)
+    t_map = time.perf_counter() - t0
+    assert isinstance(aas, MappingRecords), "records mode expected"
+    sam_stats = emit_sam(aas, genome, "/tmp/e2e_million.SAM", threads=4)
+    t_sam = time.perf_counter() - t0
+    emit_vcf(aas, genome, "/tmp/e2e_million")
+    t_e2e = time.perf_counter() - t0
+
+    m = results.orientation != 3
+    n_mapped = int(m.sum())
+    exact = int((results.position[m] + results.shift[m] == starts[m]).sum())
+    sam_mb = os.path.getsize("/tmp/e2e_million.SAM") / 1e6
+    vcf_mb = (os.path.getsize("/tmp/e2e_million.VCF") / 1e6
+              if os.path.exists("/tmp/e2e_million.VCF") else 0.0)
+    import resource
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    log(f"[e2e-1M] map {t_map:.1f}s  +sam {t_sam-t_map:.1f}s "
+        f"+vcf {t_e2e-t_sam:.1f}s  ({sam_stats})")
+    print(f"e2e_1M: {n_reads:,} reads in {t_e2e:.1f}s -> "
+          f"{n_reads/t_e2e:,.0f} reads/s; mapped {n_mapped:,} "
+          f"({100*n_mapped/n_reads:.1f}%), coarse-exact {exact:,}; "
+          f"SAM {sam_mb:.0f} MB, VCF {vcf_mb:.0f} MB, peak RSS {rss_gb:.1f} GB",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

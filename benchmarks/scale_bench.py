@@ -1,8 +1,10 @@
 """Scale benchmark: chr1-class synthetic genome on one chip.
 
-Usage: python benchmarks/scale_bench.py [genome_mbp] [n_batches]
+Usage: python benchmarks/scale_bench.py [genome_mbp] [n_batches] [3n|parity]
 Prints index-build time, steady mapping throughput, and accuracy of planted
-reads (exact coarse positions).
+reads (exact coarse positions).  Default mode is 3N (bisulfite, 90% C->T,
+50% RC) — the production configuration; wall-clock timing is honest
+(map_reads returns host arrays).
 """
 
 import os
@@ -25,6 +27,7 @@ def main():
 
     genome_mbp = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    three_n = (sys.argv[3] if len(sys.argv) > 3 else "3n") == "3n"
     g_len = genome_mbp * 1_000_000
     read_len = 100
     batch = 2048
@@ -42,7 +45,9 @@ def main():
         kmer_length=16, num_hash_functions=16, window_size=128,
         min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
         probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
+        three_n_seeding=three_n,
         shd_pairs_per_read_budget=4, probe_tail_budget_per_read=4)
+    print(f"mode: {'3N' if three_n else 'parity'}", flush=True)
     t0 = time.time()
     mapper = CoarseMapper(genome, opts)
     print(f"index build: {time.time()-t0:.1f}s, "
@@ -54,6 +59,9 @@ def main():
     reads = chrom_bases[starts[:, None] + np.arange(read_len)[None, :]].copy()
     rc = rng.random(n_reads) < 0.5
     reads[rc] = 3 - reads[rc][:, ::-1]
+    if three_n:
+        conv = (reads == 1) & (rng.random(reads.shape) < 0.9)
+        reads[conv] = 3
     reads = np.pad(reads, ((0, 0), (0, 28))).astype(np.int8)
     lens = np.full(n_reads, read_len, dtype=np.int32)
 
