@@ -28,6 +28,10 @@ def main():
     genome_mbp = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     three_n = (sys.argv[3] if len(sys.argv) > 3 else "3n") == "3n"
+    # optional cap overrides: probe_cap, candidates_per_read_cap, budgets
+    probe_cap = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    kcap = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    budget = int(sys.argv[6]) if len(sys.argv) > 6 else 4
     g_len = genome_mbp * 1_000_000
     read_len = 100
     batch = 2048
@@ -44,10 +48,11 @@ def main():
     opts = ProgramOptions(
         kmer_length=16, num_hash_functions=16, window_size=128,
         min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
-        probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
-        three_n_seeding=three_n,
-        shd_pairs_per_read_budget=4, probe_tail_budget_per_read=4)
-    print(f"mode: {'3N' if three_n else 'parity'}", flush=True)
+        probe_cap=probe_cap, candidates_per_read_cap=kcap,
+        max_read_length=128, three_n_seeding=three_n,
+        shd_pairs_per_read_budget=budget, probe_tail_budget_per_read=budget)
+    print(f"mode: {'3N' if three_n else 'parity'}; caps "
+          f"{probe_cap}/{kcap}/{budget}", flush=True)
     t0 = time.time()
     mapper = CoarseMapper(genome, opts)
     print(f"index build: {time.time()-t0:.1f}s, "
@@ -75,8 +80,8 @@ def main():
     m = res.orientation != 3
     ok = int((res.position[m] + res.shift[m] == starts[m]).sum())
     print(f"map(steady): {n_reads/dt:,.0f} reads/s; mapped {int(m.sum())} "
-          f"({100*m.mean():.1f}%), exact-position {ok}/{int(m.sum())}",
-          flush=True)
+          f"({100*m.mean():.1f}%), exact-position {ok}/{int(m.sum())}; "
+          f"stats {res.stats}", flush=True)
 
 
 if __name__ == "__main__":
