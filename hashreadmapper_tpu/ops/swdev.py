@@ -57,6 +57,37 @@ _BIG = np.int32(0x3FFFFFFF)  # np, not jnp: a module-level jnp
 # platform choice (dryrun_multichip must pick CPU before first init)
 
 
+def _use_pallas_pass() -> bool:
+    """Route the striped pass through the Pallas kernel on TPU backends.
+
+    The XLA scan formulation streams its [S,16,P] carries through HBM
+    every column (~38 ms/2048-read batch, PERF.md round-4 budget); the
+    Pallas kernel (swdev_pallas.py) keeps them in VMEM.  Bit-identical —
+    same closed forms; equivalence fuzzed in tests/test_swdev.py.
+    HRM_SW_PALLAS=0 disables.  CPU keeps the XLA path (Mosaic interpret
+    mode is test-only)."""
+    import os
+    if os.environ.get("HRM_SW_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - backend probing never raises
+        return False
+
+
+def _run_pass(read_at, pre_mask, pos, seg_len, eff_read_len, ref_t,
+              ref_len, terminate, ref_dir: int, n_cols: int,
+              want_max_column: bool):
+    """Dispatch one striped pass: Pallas on TPU, XLA scan elsewhere."""
+    if _use_pallas_pass():
+        from .swdev_pallas import pass_batched_pallas
+        return pass_batched_pallas(read_at, eff_read_len, seg_len, ref_t,
+                                   ref_len, terminate, ref_dir, n_cols,
+                                   want_max_column)
+    return _pass_batched(read_at, pre_mask, pos, seg_len, ref_t, ref_len,
+                         terminate, ref_dir, n_cols, want_max_column)
+
+
 def _pass_batched(read_at, pre_mask, pos, seg_len, ref_t, ref_len,
                   terminate, ref_dir: int, n_cols: int,
                   want_max_column: bool):
@@ -252,8 +283,8 @@ def ssw_forward_batch(read_codes, read_len, ref_codes, ref_len, mask_len,
     read_at, pre_mask, pos, seg_len = _striped_layout(read_codes, read_len,
                                                       lq)
     ref_t = ref_codes.astype(jnp.int32).T[:n_cols]
-    best, end_ref, end_read, max_column, ovf = _pass_batched(
-        read_at, pre_mask, pos, seg_len, ref_t, ref_len,
+    best, end_ref, end_read, max_column, ovf = _run_pass(
+        read_at, pre_mask, pos, seg_len, read_len, ref_t, ref_len,
         jnp.full((P,), SAT, jnp.int32), 0, n_cols, True)
 
     # second-best outside the masked window (byte quirk: second range starts
@@ -318,9 +349,9 @@ def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
     ref_flip = ref_codes.astype(jnp.int32).T[:n_cols][::-1]    # [LR, P]
     ref_rev_t = _shift_rows_up(ref_flip, n_cols - 1 - ref_end,
                                jnp.int32(4))
-    best, end_ref, end_read, _, ovf = _pass_batched(
-        read_at, pre_mask, pos, seg_len, ref_rev_t, fl_rev, score1, 1,
-        n_cols, False)
+    best, end_ref, end_read, _, ovf = _run_pass(
+        read_at, pre_mask, pos, seg_len, rl_rev, ref_rev_t, fl_rev,
+        score1, 1, n_cols, False)
     return {"ref_begin": end_ref, "query_begin": query_end - end_read,
             "flag2": score1 > best, "overflowed": ovf}
 

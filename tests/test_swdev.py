@@ -195,3 +195,88 @@ def test_degenerate_and_tiny():
         assert dev["query_end"][i] == al.query_end, (i, q, w)
         assert dev["ref_begin"][i] == al.ref_begin, (i, q, w)
         assert dev["query_begin"][i] == al.query_begin, (i, q, w)
+
+
+def _xla_vs_pallas(rng, n, lq_max=128, lr_max=128, alphabet=5):
+    """Compare _pass_batched vs pass_batched_pallas (interpret mode) on
+    identical inputs, both directions, elementwise."""
+    import jax.numpy as jnp
+
+    from hashreadmapper_tpu.ops.swdev_pallas import pass_batched_pallas
+
+    rc, rls, fc, fls, _, _ = _random_pairs(rng, n, lq_max, lr_max,
+                                           alphabet)
+    n_cols = lr_max
+    read_at, pre_mask, pos, seg_len = swdev._striped_layout(
+        jnp.asarray(rc), jnp.asarray(rls), lq_max)
+    ref_t = jnp.asarray(fc).astype(jnp.int32).T[:n_cols]
+    term = jnp.full((n,), swdev.SAT, jnp.int32)
+    for ref_dir, want_mc in ((0, True), (1, False)):
+        ref_use = ref_t if ref_dir == 0 else ref_t[::-1]
+        args = (read_at, pre_mask, pos, seg_len, ref_use,
+                jnp.asarray(fls), term, ref_dir, n_cols, want_mc)
+        b0, er0, eq0, mc0, ov0 = swdev._pass_batched(*args)
+        b1, er1, eq1, mc1, ov1 = pass_batched_pallas(
+            read_at, jnp.asarray(rls), seg_len, ref_use, jnp.asarray(fls),
+            term, ref_dir, n_cols, want_mc, interpret=True)
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        np.testing.assert_array_equal(np.asarray(er0), np.asarray(er1))
+        np.testing.assert_array_equal(np.asarray(eq0), np.asarray(eq1))
+        np.testing.assert_array_equal(np.asarray(ov0), np.asarray(ov1))
+        if want_mc:
+            np.testing.assert_array_equal(np.asarray(mc0), np.asarray(mc1))
+
+
+def test_pallas_pass_equivalence():
+    """Pallas striped pass == XLA scan formulation, bit for bit (fuzz;
+    includes saturating/terminating/padded-P shapes)."""
+    rng = np.random.default_rng(123)
+    _xla_vs_pallas(rng, 64)          # lq 128 (S=8), realistic
+    _xla_vs_pallas(rng, 32, lq_max=64, lr_max=96)   # small segLen variety
+    _xla_vs_pallas(rng, 130)         # P not a multiple of 128 (padding)
+
+
+def test_pallas_pass_terminate_equivalence():
+    """Reverse-pass semantics: terminate=score1 early-stop must match."""
+    import jax.numpy as jnp
+
+    from hashreadmapper_tpu.ops.swdev_pallas import pass_batched_pallas
+
+    rng = np.random.default_rng(9)
+    n = 64
+    rc, rls, fc, fls, _, _ = _random_pairs(rng, n)
+    # forward to get per-pair score1/ref_end/query_end, then reverse both
+    # ways and compare
+    out = swdev.ssw_forward_batch(rc, rls, fc, fls,
+                                  np.maximum(15, rls // 2), 128)
+    lq = 128
+    qe = jnp.asarray(out["query_end"]).astype(jnp.int32)
+    s1 = jnp.asarray(out["score1"]).astype(jnp.int32)
+    re = jnp.asarray(out["ref_end"]).astype(jnp.int32)
+    t_idx = np.arange(lq)[:, None]
+    flipped = jnp.asarray(rc).astype(jnp.int32).T[::-1]
+    rev_t = swdev._shift_rows_up(flipped, lq - 1 - qe, jnp.int32(4))
+    rev_t = jnp.where(jnp.asarray(t_idx) <= qe[None, :], rev_t, 4)
+    rl_rev = qe + 1
+    fl_rev = re + 1
+    S = (lq + swdev.LANES - 1) // swdev.LANES
+    seg_len = (rl_rev + swdev.LANES - 1) // swdev.LANES
+    import jax
+    j3 = jax.lax.broadcasted_iota(jnp.int32, (S, swdev.LANES, n), 0)
+    k3 = jax.lax.broadcasted_iota(jnp.int32, (S, swdev.LANES, n), 1)
+    pos = j3 + k3 * seg_len[None, None, :]
+    pre_mask = pos < rl_rev[None, None, :]
+    read_at = swdev._striped_select(rev_t, seg_len, S, lq)
+    read_at = jnp.where(pre_mask, read_at, 4)
+    ref_flip = jnp.asarray(fc).astype(jnp.int32).T[:128][::-1]
+    ref_rev_t = swdev._shift_rows_up(ref_flip, 128 - 1 - re, jnp.int32(4))
+    b0, er0, eq0, _, ov0 = swdev._pass_batched(
+        read_at, pre_mask, pos, seg_len, ref_rev_t, fl_rev, s1, 1, 128,
+        False)
+    b1, er1, eq1, _, ov1 = pass_batched_pallas(
+        read_at, rl_rev, seg_len, ref_rev_t, fl_rev, s1, 1, 128, False,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(er0), np.asarray(er1))
+    np.testing.assert_array_equal(np.asarray(eq0), np.asarray(eq1))
+    np.testing.assert_array_equal(np.asarray(ov0), np.asarray(ov1))
