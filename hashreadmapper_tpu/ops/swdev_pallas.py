@@ -85,6 +85,10 @@ def _sw_kernel(readat_ref, rlen_ref, seglen_ref, reflen_ref, term_ref,
     snap_ref[...] = jnp.full_like(snap_ref, -1)
 
     def column(t, carry):
+        # NOTE: every carried mask is int32 0/1, never bool — Mosaic on
+        # this backend cannot legalize scf.for with vector<i1> carries
+        # (the round-4 BENCH crash; reproduced with a minimal probe).
+        # Bool intermediates within one iteration are fine.
         best, end_ref, stopped, overflowed = carry
         rb1 = ref_ref[pl.ds(t, 1), :]                      # [1,BP]
         rb = jnp.broadcast_to(rb1, (L, BP))
@@ -93,7 +97,7 @@ def _sw_kernel(readat_ref, rlen_ref, seglen_ref, reflen_ref, term_ref,
         else:
             i = ref_len - 1 - t
         in_range = (i >= 0) & (i < ref_len)
-        active = in_range & ~stopped
+        active = in_range & (stopped == 0)
 
         h = [h_ref[j * L:(j + 1) * L, :] for j in range(S)]
         e = [e_ref[j * L:(j + 1) * L, :] for j in range(S)]
@@ -159,7 +163,8 @@ def _sw_kernel(readat_ref, rlen_ref, seglen_ref, reflen_ref, term_ref,
         take_end = improved & ~ovf_now
         best = jnp.where(improved, colmax, best)
         end_ref = jnp.where(take_end, i, end_ref)
-        stopped = stopped | ovf_now | (active & (colmax == terminate))
+        stop_now = ovf_now | (active & (colmax == terminate))
+        stopped = stopped | stop_now.astype(jnp.int32)
         takeb = jnp.broadcast_to(take_end, (L, BP))
         actb = jnp.broadcast_to(active, (L, BP))
         for j in range(S):
@@ -169,11 +174,11 @@ def _sw_kernel(readat_ref, rlen_ref, seglen_ref, reflen_ref, term_ref,
             e_ref[sl, :] = jnp.where(actb, e_new[j], e[j])
         if want_mc:
             mc_ref[pl.ds(t, 1), :] = jnp.where(active, colmax, 0)
-        return (best, end_ref, stopped, overflowed | ovf_now)
+        return (best, end_ref, stopped,
+                overflowed | ovf_now.astype(jnp.int32))
 
     z = jnp.zeros((1, BP), jnp.int32)
-    init = (z, jnp.full((1, BP), -1, jnp.int32),
-            jnp.zeros((1, BP), jnp.bool_), jnp.zeros((1, BP), jnp.bool_))
+    init = (z, jnp.full((1, BP), -1, jnp.int32), z, z)
     best, end_ref, _, overflowed = jax.lax.fori_loop(
         0, n_cols, column, init)
 
@@ -188,7 +193,9 @@ def _sw_kernel(readat_ref, rlen_ref, seglen_ref, reflen_ref, term_ref,
     out_ref[0:1, :] = best
     out_ref[1:2, :] = end_ref
     out_ref[2:3, :] = end_read
-    out_ref[3:4, :] = overflowed.astype(jnp.int32)
+    out_ref[3:4, :] = overflowed
+    if not want_mc:
+        mc_ref[...] = jnp.zeros_like(mc_ref)   # (1,BP) dummy, see wrapper
 
 
 @partial(jax.jit, static_argnames=("ref_dir", "n_cols", "want_max_column",
@@ -220,10 +227,13 @@ def pass_batched_pallas(read_at, eff_read_len, seg_len, ref_t, ref_len,
     read_2d = read_at.astype(jnp.int32).reshape(S * LANES, Pp)
     row1 = lambda a: a.astype(jnp.int32).reshape(1, Pp)
     blk = lambda: pl.BlockSpec((1, _BP), lambda g: (0, g))
+    # max_column is only materialized when wanted; otherwise a (1,BP)
+    # zero-written dummy (no dead n_cols-sized VMEM/HBM block)
+    mc_rows = n_cols if want_max_column else 1
     out_specs = [pl.BlockSpec((4, _BP), lambda g: (0, g)),
-                 pl.BlockSpec((n_cols, _BP), lambda g: (0, g))]
+                 pl.BlockSpec((mc_rows, _BP), lambda g: (0, g))]
     out_shape = [jax.ShapeDtypeStruct((4, Pp), jnp.int32),
-                 jax.ShapeDtypeStruct((n_cols, Pp), jnp.int32)]
+                 jax.ShapeDtypeStruct((mc_rows, Pp), jnp.int32)]
     out, mc = pl.pallas_call(
         partial(_sw_kernel, S=S, n_cols=n_cols, ref_dir=ref_dir,
                 want_mc=want_max_column),

@@ -264,6 +264,8 @@ class RegionShardedMapper:
             f["cuckoo_direct_probe"] for f in fbs)
         out.stats["vote_kernel_fallback"] = max(
             f["vote_kernel_fallback"] for f in fbs)
+        out.stats["sw_kernel_fallback"] = max(
+            f.get("sw_kernel_fallback", 0) for f in fbs)
         if with_scores:
             # per-read selection of the winning region's fused STEP-2
             # score/traceback rows (pair columns 2i, 2i+1 of read i)

@@ -511,8 +511,10 @@ class ShardedCoarseMapper:
         und = 2 if self.opts.undirectional else 1
         pallas_ok = mi.vote_uses_pallas(
             self.n_tables * und, self.opts.batchsize, self.opts.probe_cap)
+        from ..ops import swdev as _swdev
         stats = {"cuckoo_direct_probe": int(self._use_cuckoo),
-                 "vote_kernel_fallback": int(not pallas_ok)}
+                 "vote_kernel_fallback": int(not pallas_ok),
+                 "sw_kernel_fallback": _swdev.sw_pallas_state()["fallback"]}
         if not self._warned_vote_fallback:
             self._warned_vote_fallback = True
             if self.cuckoo_fallback_reason:

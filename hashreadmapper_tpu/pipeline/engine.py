@@ -440,6 +440,14 @@ class CoarseMapper:
             self.table.num_windows = len(win_pos)
             self.index = None
         self.dropped: Optional[tuple] = None
+        if getattr(opts, "step2_device", False):
+            # decide the striped-SW backend EAGERLY: fused_step2_scores is
+            # traced inside a jitted method, and routing read at trace
+            # time must never bake an unverified kernel into the cache
+            # (round-4 BENCH crash); any smoke failure -> XLA fallback +
+            # sw_kernel_fallback stat (see swdev.decide_sw_backend)
+            from ..ops import swdev as _swdev
+            _swdev.decide_sw_backend()
 
     def iter_window_superbatch_starts(self, sig_batch: int = 4096):
         """Window-start superbatches for the device-side index build.
@@ -851,11 +859,13 @@ class CoarseMapper:
             if self.index is not None else 0
         pallas_ok = mi.vote_uses_pallas(f_eff, self.opts.batchsize,
                                         self.opts.probe_cap)
+        from ..ops import swdev as _swdev
         stats = {
             "cuckoo_direct_probe": int(
                 self.index is not None
                 and self.index.cuckoo_keys is not None),
             "vote_kernel_fallback": int(not pallas_ok),
+            "sw_kernel_fallback": _swdev.sw_pallas_state()["fallback"],
         }
         if not getattr(self, "_warned_fallbacks", False):
             self._warned_fallbacks = True
