@@ -75,7 +75,7 @@ N_ENTRIES = 64  # walk entries per pair; overflow -> host banded_cigar
 OP_M, OP_I, OP_D = 1, 2, 3
 
 
-def _shift_sub(codes_t, begin, size):
+def _shift_sub_xla(codes_t, begin, size):
     """codes_t [L, P] -> sub[t] = codes[begin + t] (4 past the end).
 
     Barrel shift by `begin` via log2 select+roll (per-pair XLA gathers
@@ -92,6 +92,54 @@ def _shift_sub(codes_t, begin, size):
         x = jnp.where((sh & step).astype(bool)[None, :],
                       jnp.roll(x, -step, axis=0), x)
     return x[:size]
+
+
+def _shift_kernel(x_ref, sh_ref, o_ref, s_ref, *, size: int):
+    """In-VMEM barrel shift: o[t, p] = x[t + sh[p], p], 4 past the end.
+
+    The XLA formulation above materializes the full [L+size, P] array to
+    HBM on every one of its log2 steps (~7 ms/8192-pair batch measured —
+    the single largest fixed cost of the fused traceback); here the
+    steps round-trip a VMEM scratch ref (the vote_pallas liveness idiom)
+    and HBM sees one read + one write."""
+    L = x_ref.shape[0]
+    n = L + size
+    sh = sh_ref[...]                                   # [1, BP] int32
+    s_ref[0:L, :] = x_ref[...]
+    s_ref[L:n, :] = jnp.full((size, s_ref.shape[1]), 4, jnp.int32)
+    for b in range(max(1, (n - 1).bit_length())):
+        step = 1 << b
+        if step >= n:
+            break
+        x = s_ref[...]
+        shifted = jnp.concatenate(
+            [x[step:], jnp.full((step, x.shape[1]), 4, jnp.int32)], axis=0)
+        s_ref[...] = jnp.where((sh & step) != 0, shifted, x)
+    o_ref[...] = s_ref[0:size, :]
+
+
+def _shift_sub_pallas(codes_t, begin, size):
+    L, P = codes_t.shape
+    out = pl.pallas_call(
+        partial(_shift_kernel, size=size),
+        grid=(P // _BP,),
+        in_specs=[pl.BlockSpec((L, _BP), lambda g: (0, g)),
+                  pl.BlockSpec((1, _BP), lambda g: (0, g))],
+        out_specs=pl.BlockSpec((size, _BP), lambda g: (0, g)),
+        out_shape=jax.ShapeDtypeStruct((size, P), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((L + size, _BP), jnp.int32)],
+    )(codes_t.astype(jnp.int32),
+      begin.astype(jnp.int32).reshape(1, P))
+    return out
+
+
+def _shift_sub(codes_t, begin, size):
+    """Dispatch: Pallas on TPU blocks of 128, XLA elsewhere.  Both are
+    exact (fuzzed against each other in tests/test_bandtb.py)."""
+    P = codes_t.shape[1]
+    if jax.default_backend() == "tpu" and P % _BP == 0:
+        return _shift_sub_pallas(codes_t, begin, size)
+    return _shift_sub_xla(codes_t, begin, size)
 
 
 def _row_core(h_up, e_up, d2_up, j_up, read_i, sub_ref, s_valid, i, m, r,

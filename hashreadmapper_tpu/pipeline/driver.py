@@ -65,7 +65,10 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
         stream = (chunk % bsz == 0
                   and mapper.read_pool_size(n, bases.shape[1], bsz) >= n_pad)
     from .records import MappingRecords
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    # two cssw workers: per-chunk host work (~100 ms) arrives every
+    # ~120 ms of device+transfer time — one worker backs up whenever a
+    # chunk runs long (observed 200 ms chunks), two absorb the jitter
+    with ThreadPoolExecutor(max_workers=2) as ex:
         futs = []
         if stream:
             import jax.numpy as jnp
@@ -76,6 +79,15 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
             use_tb = getattr(opts, "step2_device_traceback", True)
             b8 = lambda a: __import__("jax").lax.bitcast_convert_type(
                 a, jnp.uint8)
+            # slim score rows: every score value fits uint8 once the
+            # -1-able begin/end rows are shifted +1 (score1/score2
+            # saturate at 255; ends < window/read length) — 20 B/read
+            # instead of 40 crossing the tunnel, which serializes with
+            # compute in the device FIFO
+            slim = opts.window_size <= 255 and bases.shape[1] <= 255
+            sc_off = np.array([0, 1, 1, 0, 1, 1, 1, 0, 0, 0], np.int16)
+            sc_off_dev = jnp.asarray(sc_off)
+            sc_w = 20 if slim else 40
 
             # per chunk: dispatch its batches, then enqueue ONE combined
             # uint8 bundle right behind them — the bundle's FIFO position
@@ -97,8 +109,13 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
                     to.append(t_o)
                     ts.append(t_s)
                 c = c1 - c0
-                row = [b8(jnp.concatenate(pk)).reshape(c, 28),
-                       b8(jnp.concatenate(sc, axis=1).T).reshape(c, 40)]
+                sc_cat = jnp.concatenate(sc, axis=1)
+                if slim:
+                    sc_rows = ((sc_cat + sc_off_dev[:, None])
+                               .astype(jnp.uint8).T.reshape(c, 20))
+                else:
+                    sc_rows = b8(sc_cat.T).reshape(c, 40)
+                row = [b8(jnp.concatenate(pk)).reshape(c, 28), sc_rows]
                 if use_tb:
                     e = to[0].shape[1]
                     row.append(jnp.concatenate(to).reshape(c, 2 * e))
@@ -111,12 +128,17 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
                 buf = np.asarray(bundles[ci])[:c1 - c0]
                 c = c1 - c0
                 packed = buf[:, :28].copy().view(np.int32).reshape(c, 7)
-                scores = (buf[:, 28:68].copy().view(np.int16)
-                          .reshape(2 * c, 10).T)
+                if slim:
+                    scores = (buf[:, 28:48].reshape(2 * c, 10)
+                              .astype(np.int16) - sc_off[None, :]).T
+                else:
+                    scores = (buf[:, 28:68].copy().view(np.int16)
+                              .reshape(2 * c, 10).T)
                 if use_tb:
-                    e = (buf.shape[1] - 70) // 2
-                    tb_ops = buf[:, 68:68 + 2 * e].reshape(2 * c, e)
-                    tb_st = (buf[:, 68 + 2 * e:].copy().view(np.int8)
+                    base = 28 + sc_w
+                    e = (buf.shape[1] - base - 2) // 2
+                    tb_ops = buf[:, base:base + 2 * e].reshape(2 * c, e)
+                    tb_st = (buf[:, base + 2 * e:].copy().view(np.int8)
                              .reshape(2 * c))
                     scores = (scores, tb_ops, tb_st)
                 res = CoarseResults(

@@ -148,3 +148,35 @@ def test_bandtb_band_doubling_cases():
     assert host[0] == devr[0]
     np.testing.assert_array_equal(host[1], devr[1])
     np.testing.assert_array_equal(host[2], devr[2])
+
+
+def test_shift_sub_pallas_matches_xla():
+    """The in-VMEM barrel shift (Pallas, interpret mode here) must equal
+    the XLA select+roll formulation for arbitrary per-pair begins."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hashreadmapper_tpu.ops import bandtb
+
+    rng = np.random.default_rng(11)
+    L, P, size = 96, 256, 128
+    x = jnp.asarray(rng.integers(0, 5, size=(L, P)).astype(np.int32))
+    sh = jnp.asarray(rng.integers(0, L, size=P).astype(np.int32))
+    want = np.asarray(bandtb._shift_sub_xla(x, sh, size))
+
+    import functools
+    from jax.experimental import pallas as pl
+    import jax
+    got = pl.pallas_call(
+        functools.partial(bandtb._shift_kernel, size=size),
+        grid=(P // bandtb._BP,),
+        in_specs=[pl.BlockSpec((L, bandtb._BP), lambda g: (0, g)),
+                  pl.BlockSpec((1, bandtb._BP), lambda g: (0, g))],
+        out_specs=pl.BlockSpec((size, bandtb._BP), lambda g: (0, g)),
+        out_shape=jax.ShapeDtypeStruct((size, P), jnp.int32),
+        scratch_shapes=[
+            __import__("jax.experimental.pallas.tpu", fromlist=["tpu"])
+            .VMEM((L + size, bandtb._BP), jnp.int32)],
+        interpret=True,
+    )(x, sh.reshape(1, P))
+    assert np.array_equal(np.asarray(got), want)
