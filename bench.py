@@ -122,6 +122,8 @@ def coarse_rate(genome, reads, opts, label, reps=3):
 
     assert ovf[2] == 0, f"pair budget overflowed ({ovf[2]} dropped pairs)"
     assert ovf[3] == 0, f"probe tail budget overflowed ({ovf[3]} probes)"
+    if len(ovf) > 4:
+        assert ovf[4] == 0, f"probe head budget overflowed ({ovf[4]} probes)"
     n_mapped = int((packed[:, 0] != 3).sum())
     log(f"[{label}] {n_reads} reads x{reps}: "
         f"{'/'.join(f'{r:,.0f}' for r in rates)} reads/s (median {rps:,.0f})"
@@ -190,7 +192,11 @@ def _run_stages(result, stage):
             # pair_budget/probe_tail overflow counters stay 0 (asserted
             # in coarse_rate)
             shd_pairs_per_read_budget=4,
-            probe_tail_budget_per_read=4)
+            probe_tail_budget_per_read=4,
+            # found-compacted head gather (bit-identical; asserted via the
+            # probe_head overflow counter; ~43% found rate measured, 2F=32
+            # is the per-read ceiling)
+            probe_head_budget_per_read=18)
 
     # --- flagship: 3N configuration on 90%-converted BS reads ---
     genome, reads, _ = make_genome_and_reads(

@@ -107,7 +107,7 @@ def main():
                                * opts.probe_tail_budget_per_read)
     probe_j = jax.jit(probe_fn)
     t_probe = timeit(probe_j, (sigs, vdev))
-    cand, counts, _drops = probe_j(sigs, vdev)
+    cand, counts, *_drops = probe_j(sigs, vdev)
     cand = jax.block_until_ready(cand)
 
     # stage 3: vote

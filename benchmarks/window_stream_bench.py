@@ -51,9 +51,13 @@ def main():
 
     opts = ProgramOptions(
         kmer_length=16, num_hash_functions=16, window_size=128,
-        min_table_hits=4, batchsize=2048, max_hamming_percent=0.05,
+        min_table_hits=4, batchsize=4096, max_hamming_percent=0.05,
         probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
-        three_n_seeding=True)
+        three_n_seeding=True,
+        # round-5: pair compaction + two-tier/head-compacted probe in the
+        # window orientation (bit-identical; counters asserted below)
+        shd_pairs_per_read_budget=4, probe_tail_budget_per_read=4,
+        probe_head_budget_per_read=18)
 
     t0 = time.perf_counter()
     mapper = WindowStreamMapper(reads, lengths, opts)
@@ -68,6 +72,9 @@ def main():
         t0 = time.perf_counter()
         res = mapper.map_genome(genome)
         rates.append(n_reads / (time.perf_counter() - t0))
+    for k in ("pair_budget_overflow", "probe_tail_overflow",
+              "probe_head_overflow"):
+        assert res.stats.get(k, 0) == 0, (k, res.stats)
     m = res.orientation != 3
     exact = int((res.position[m] + res.shift[m] == starts[m]).sum())
     n_windows = -(-(g_len - opts.kmer_length + 1) // opts.window_size)

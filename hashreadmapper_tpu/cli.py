@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--probeTailBudget", type=int, default=0,
                    help="heavy (count>4) probes budgeted per read for the "
                         "two-tier value gather (0=off)")
+    p.add_argument("--probeHeadBudget", type=int, default=0,
+                   help="found probes budgeted per read for the compacted "
+                        "head gather (0=off; needs --probeTailBudget)")
     p.add_argument("--pipelineChunk", type=int, default=65536,
                    help="reads per STEP1/STEP2 pipeline chunk (0 = run "
                         "the phases strictly sequentially)")
@@ -138,6 +141,7 @@ def options_from_args(argv: Optional[List[str]] = None) -> ProgramOptions:
         candidates_per_read_cap=args.candidatesPerRead,
         shd_pairs_per_read_budget=args.shdPairBudget,
         probe_tail_budget_per_read=args.probeTailBudget,
+        probe_head_budget_per_read=args.probeHeadBudget,
         step2_pipeline_chunk=args.pipelineChunk,
         max_read_length=args.maxReadLength,
         num_regions=args.regions,

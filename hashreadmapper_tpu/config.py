@@ -131,6 +131,12 @@ class ProgramOptions:
     # (see minhash_index.probe_tables tail_budget).  0 = off (single full
     # probe_cap gather).  Bit-identical while probe_tail_overflow stays 0.
     probe_tail_budget_per_read: int = 0
+    # Found-compacted head gather: found (count>0) probes budgeted per read
+    # before the head value gather (see probe_tables head_budget; requires
+    # the two-tier mode).  0 = off (dense head gather for every probe).
+    # Bit-identical while probe_head_overflow stays 0; a read has at most
+    # 2F found probes, so 2F is always overflow-free.
+    probe_head_budget_per_read: int = 0
     # STEP1/STEP2 pipelining: reads are coarse-mapped and fine-aligned in
     # chunks of this many reads, so STEP 2's host work (CIGAR finish,
     # rescore, record build) overlaps the next chunk's device coarse

@@ -367,8 +367,8 @@ def _bucketed_lower_bound(keys: jnp.ndarray, bucket_start: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("probe_cap", "probe_steps",
                                    "max_values_per_key", "fnc_layout",
-                                   "tail_budget", "cuckoo_bits",
-                                   "cuckoo_seeds"))
+                                   "tail_budget", "head_budget",
+                                   "cuckoo_bits", "cuckoo_seeds"))
 def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  index_values: jnp.ndarray, index_num_keys: jnp.ndarray,
                  sigs: jnp.ndarray, sig_valid: jnp.ndarray,
@@ -379,6 +379,7 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                  max_values_per_key: int = 0,
                  fnc_layout: bool = False,
                  tail_budget: int = 0,
+                 head_budget: int = 0,
                  cuckoo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                  cuckoo_bits: int = 0,
                  cuckoo_seeds: Tuple[int, int] = (0, 0)):
@@ -397,9 +398,16 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
     average ~1.2 values, so the head gather fetches only 4 slots per
     (table, query) and the rare count>4 probes are compacted (<= tail_budget
     of them) and gather their remaining probe_cap-4 slots separately —
-    ~3x fewer gathered elements, bit-identical while the third return value
-    (tail_drops) is 0.  Probes compacted out beyond the budget keep their
-    first 4 values only.  Adds tail_drops to the returns.
+    ~3x fewer gathered elements, bit-identical while tail_drops is 0.
+    Probes compacted out beyond the budget keep their first 4 values only.
+    Adds (tail_drops, head_drops) to the returns.
+
+    head_budget > 0 (requires the two-tier mode) additionally compacts the
+    FOUND probes before the head gather (misses — ~57% of probes on the
+    flagship shape — otherwise pay the same 18 ns/element); bit-identical
+    while head_drops is 0.  Probes compacted out past head_budget lose all
+    their values, so callers must assert/report head_drops like the other
+    budget counters.
     """
     n, f = sigs.shape
     sigs_t = sigs.T  # [F, N]
@@ -469,14 +477,48 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
                 and f * v_cols < 2**31)
     c1 = 4 if two_tier else probe_cap
 
-    # head gather: first c1 values of every (f, n)
-    slot = jnp.arange(c1, dtype=jnp.int32)
-    gidx = off0[:, :, None] + slot[None, None, :]                # [F, N, c1]
-    in_range = slot[None, None, :] < cap_eff[:, :, None]
-    gidx = jnp.clip(gidx, 0, v_cols - 1)
-    vals = jax.vmap(jnp.take)(index_values, gidx.reshape(f, -1))
-    head = jnp.where(in_range, vals.reshape(f, n, c1),
-                     jnp.uint32(SENTINEL))
+    head_drops = jnp.int32(0)
+    if head_budget > 0 and two_tier:
+        # found-compacted head gather: only ~43% of probes hit on the
+        # flagship shape (measured), but the dense head gather below pays
+        # 18 ns/element for every (f, n) including misses.  Compact the
+        # found probes (<= head_budget of them, same machinery as the
+        # tail tier) and gather c1 slots for those only — bit-identical
+        # while head_drops stays 0 (probes compacted out past the budget
+        # would lose ALL their values, so the counter must be asserted
+        # like the other budgets).
+        found_f = (counts > 0).reshape(-1)                       # [F*N]
+        fi = found_f.astype(jnp.int32)
+        frank = jnp.cumsum(fi) - 1
+        n_found = jnp.sum(fi)
+        fslot = jnp.where(found_f & (frank < head_budget), frank,
+                          head_budget)
+        fsel = jnp.zeros((head_budget + 1,), jnp.int32).at[fslot].set(
+            jnp.arange(f * n, dtype=jnp.int32), mode="drop")[:head_budget]
+        fsel_valid = jnp.arange(head_budget, dtype=jnp.int32) < n_found
+        ff = fsel // n
+        off0_f = jnp.take(off0.reshape(-1), fsel)
+        cap_f = jnp.take(cap_eff.reshape(-1), fsel)
+        slot = jnp.arange(c1, dtype=jnp.int32)
+        gh = ff[:, None] * v_cols + off0_f[:, None] + slot[None, :]
+        inh = (slot[None, :] < cap_f[:, None]) & fsel_valid[:, None]
+        vh = jnp.take(index_values.reshape(-1),
+                      jnp.clip(gh, 0, f * v_cols - 1).reshape(-1))
+        vh = jnp.where(inh, vh.reshape(head_budget, c1),
+                       jnp.uint32(SENTINEL))
+        head = jnp.full((f * n + 1, c1), SENTINEL, dtype=jnp.uint32).at[
+            jnp.where(fsel_valid, fsel, f * n)].set(
+                vh, mode="drop")[:f * n].reshape(f, n, c1)
+        head_drops = jnp.maximum(n_found - head_budget, 0)
+    else:
+        # head gather: first c1 values of every (f, n)
+        slot = jnp.arange(c1, dtype=jnp.int32)
+        gidx = off0[:, :, None] + slot[None, None, :]            # [F, N, c1]
+        in_range = slot[None, None, :] < cap_eff[:, :, None]
+        gidx = jnp.clip(gidx, 0, v_cols - 1)
+        vals = jax.vmap(jnp.take)(index_values, gidx.reshape(f, -1))
+        head = jnp.where(in_range, vals.reshape(f, n, c1),
+                         jnp.uint32(SENTINEL))
 
     tail_drops = jnp.int32(0)
     if two_tier:
@@ -510,8 +552,8 @@ def probe_tables(index_keys: jnp.ndarray, index_offsets: jnp.ndarray,
 
     if tail_budget > 0:
         if fnc_layout:
-            return cand, counts, tail_drops
-        return cand.transpose(1, 0, 2), counts.T, tail_drops
+            return cand, counts, tail_drops, head_drops
+        return cand.transpose(1, 0, 2), counts.T, tail_drops, head_drops
     if fnc_layout:
         return cand, counts
     return cand.transpose(1, 0, 2), counts.T

@@ -197,7 +197,8 @@ class RegionShardedMapper:
             position=np.zeros(n, dtype=np.int32),
             global_window_id=np.full(n, SENTINEL, dtype=np.uint32),
             stats={"probe_overflow": 0, "vote_overflow": 0,
-                   "pair_budget_overflow": 0, "probe_tail_overflow": 0},
+                   "pair_budget_overflow": 0, "probe_tail_overflow": 0,
+                   "probe_head_overflow": 0},
             bs_strand=np.zeros(n, dtype=np.int8))
         best_key = np.full(n, 2**62, dtype=np.int64)
         # region-sharded global ordinals exceed uint32 for >2 Gbp genomes;
@@ -241,6 +242,8 @@ class RegionShardedMapper:
             out.stats["vote_overflow"] += int(ovf[1])
             out.stats["pair_budget_overflow"] += int(ovf[2])
             out.stats["probe_tail_overflow"] += int(ovf[3])
+            out.stats["probe_head_overflow"] += (int(ovf[4])
+                                                 if len(ovf) > 4 else 0)
             key, payload, gwin_global = region_key_payload(
                 mapper, packed, self.chrom_gwin_base)
             better = key < best_key

@@ -324,7 +324,7 @@ class ShardedCoarseMapper:
                 local_sigs = jax.lax.dynamic_slice_in_dim(
                     sig_block, t_idx * f_local, f_local, axis=1)
                 if tail_budget > 0:
-                    cl, nl, td = mi.probe_tables(
+                    cl, nl, td, _hd = mi.probe_tables(
                         keys, offsets, values, num_keys, local_sigs,
                         sig_valid, opts.probe_cap,
                         dropped_keys=(dropped_keys, dropped_num),
@@ -345,6 +345,7 @@ class ShardedCoarseMapper:
                         td)
 
             cand, counts, tail_drops = probe_gather(sigs)
+            head_drops = jnp.int32(0)  # head compaction off on the mesh
             if opts.undirectional:
                 # PBAT strands: mirrored query spaces vs the same tables
                 # (engine.py's undirectional block, sharded)
@@ -379,8 +380,9 @@ class ShardedCoarseMapper:
                               jnp.sum(num_kept > kcap), pair_drops])
             rep3 = jax.lax.psum(rep3, "table") // n_table
             tail = jax.lax.psum(tail_drops, "table")
+            head = jax.lax.psum(head_drops, "table")
             overflow = jax.lax.psum(
-                jnp.concatenate([rep3, tail[None]]), "data")
+                jnp.concatenate([rep3, tail[None], head[None]]), "data")
             return packed, overflow
 
         data_spec = P("data")
@@ -553,6 +555,7 @@ class ShardedCoarseMapper:
                 global_window_id=np.zeros(0, dtype=np.uint32),
                 stats={"probe_overflow": 0, "vote_overflow": 0,
                        "pair_budget_overflow": 0, "probe_tail_overflow": 0,
+                       "probe_head_overflow": 0,
                        **self._fallback_stats()},
                 bs_strand=np.zeros(0, dtype=np.int8))
         if opts.three_n_seeding:
@@ -588,6 +591,7 @@ class ShardedCoarseMapper:
                    "vote_overflow": int(ovf[1]),
                    "pair_budget_overflow": int(ovf[2]),
                    "probe_tail_overflow": int(ovf[3]),
+                   "probe_head_overflow": int(ovf[4]) if len(ovf) > 4 else 0,
                    **self._fallback_stats()},
             bs_strand=packed[:, 6].astype(np.int8))
         if with_scores:

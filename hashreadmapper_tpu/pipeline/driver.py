@@ -161,6 +161,7 @@ def _pipelined_sw(mapper, bases: np.ndarray, reads: ReadStorage,
                 "probe_overflow": int(ovf[0]), "vote_overflow": int(ovf[1]),
                 "pair_budget_overflow": int(ovf[2]),
                 "probe_tail_overflow": int(ovf[3]),
+                "probe_head_overflow": int(ovf[4]) if len(ovf) > 4 else 0,
                 **mapper._fallback_stats()}
         else:
             for c0 in range(0, n, chunk):

@@ -656,6 +656,7 @@ class CoarseMapper:
         sig_valid = sig_valid & read_valid
 
         tail_budget = b * opts.probe_tail_budget_per_read
+        head_budget = b * getattr(opts, "probe_head_budget_per_read", 0)
         cuckoo_kw = {}
         if cuckoo_keys is not None:
             cuckoo_kw = dict(cuckoo=(cuckoo_keys, cuckoo_payload),
@@ -670,7 +671,8 @@ class CoarseMapper:
                     dropped_keys=(dropped_keys, dropped_num),
                     bucket_start=bucket_start,
                     probe_steps=self.index.probe_steps, fnc_layout=True,
-                    tail_budget=tail_budget, **cuckoo_kw)
+                    tail_budget=tail_budget, head_budget=head_budget,
+                    **cuckoo_kw)
             c, cnt = mi.probe_tables(
                 index_keys, index_offsets, index_values,
                 index_num_keys, sig_block, sig_valid, opts.probe_cap,
@@ -678,9 +680,9 @@ class CoarseMapper:
                 bucket_start=bucket_start,
                 probe_steps=self.index.probe_steps, fnc_layout=True,
                 **cuckoo_kw)
-            return c, cnt, jnp.int32(0)
+            return c, cnt, jnp.int32(0), jnp.int32(0)
 
-        cand, counts, tail_drops = probe(sigs)
+        cand, counts, tail_drops, head_drops = probe(sigs)
         if opts.undirectional:
             # PBAT strands: the same 2F window tables probed with the
             # mirrored query spaces — CT(RC read) against the CT tables,
@@ -688,10 +690,11 @@ class CoarseMapper:
             sigs_u, _ = minhash.signatures_3n_pair(
                 read_bases, read_len, opts.kmer_length, hash_ids,
                 mirror=True)
-            cand_u, counts_u, tail_drops_u = probe(sigs_u)
+            cand_u, counts_u, tail_drops_u, head_drops_u = probe(sigs_u)
             cand = jnp.concatenate([cand, cand_u], axis=0)     # [4F, N, C]
             counts = jnp.concatenate([counts, counts_u], axis=0)
             tail_drops = tail_drops + tail_drops_u
+            head_drops = head_drops + head_drops_u
         ids, hit_cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
 
@@ -708,7 +711,7 @@ class CoarseMapper:
             axis=1)
         overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
                               jnp.sum(num_kept > kcap), pair_drops,
-                              tail_drops])
+                              tail_drops, head_drops])
         if collect_candidates:
             # COUNT_WINDOW_HITS instrumentation (reference:
             # windowhitstatisticcollector.hpp; main_gpu.cu:555-574, 824-852):
@@ -981,6 +984,7 @@ class CoarseMapper:
                 global_window_id=np.zeros(0, dtype=np.uint32),
                 stats={"probe_overflow": 0, "vote_overflow": 0,
                        "pair_budget_overflow": 0, "probe_tail_overflow": 0,
+                       "probe_head_overflow": 0,
                        **self._fallback_stats()},
                 bs_strand=np.zeros(0, dtype=np.int8))
         assert lr <= opts.max_read_length, (
@@ -1078,6 +1082,7 @@ class CoarseMapper:
                    "vote_overflow": int(all_overflow[1]),
                    "pair_budget_overflow": int(all_overflow[2]),
                    "probe_tail_overflow": int(all_overflow[3]),
+                   "probe_head_overflow": int(all_overflow[4]),
                    **self._fallback_stats()},
             bs_strand=all_packed[:, 6].astype(np.int8))
         if with_scores:

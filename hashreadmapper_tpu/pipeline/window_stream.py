@@ -164,24 +164,64 @@ class WindowStreamMapper:
             cuckoo_kw = dict(cuckoo=(cuckoo_keys, cuckoo_payload),
                              cuckoo_bits=self.index.cuckoo_bits,
                              cuckoo_seeds=self.index.cuckoo_seeds)
-        cand, counts = mi.probe_tables(
-            index_keys, index_offsets, index_values,
-            index_num_keys, sigs, sig_valid, opts.probe_cap,
-            bucket_start=bucket_start,
-            probe_steps=self.index.probe_steps,
-            max_values_per_key=(0 if opts.three_n_seeding
-                                else opts.max_results_per_map),
-            fnc_layout=True, **cuckoo_kw)
+        tail_budget = b * opts.probe_tail_budget_per_read
+        head_budget = b * getattr(opts, "probe_head_budget_per_read", 0)
+        tail_drops = head_drops = jnp.int32(0)
+        if tail_budget > 0:
+            cand, counts, tail_drops, head_drops = mi.probe_tables(
+                index_keys, index_offsets, index_values,
+                index_num_keys, sigs, sig_valid, opts.probe_cap,
+                bucket_start=bucket_start,
+                probe_steps=self.index.probe_steps,
+                max_values_per_key=(0 if opts.three_n_seeding
+                                    else opts.max_results_per_map),
+                fnc_layout=True, tail_budget=tail_budget,
+                head_budget=head_budget, **cuckoo_kw)
+        else:
+            cand, counts = mi.probe_tables(
+                index_keys, index_offsets, index_values,
+                index_num_keys, sigs, sig_valid, opts.probe_cap,
+                bucket_start=bucket_start,
+                probe_steps=self.index.probe_steps,
+                max_values_per_key=(0 if opts.three_n_seeding
+                                    else opts.max_results_per_map),
+                fnc_layout=True, **cuckoo_kw)
         ids, _cnt, num_kept = mi.vote_candidates_fnc_auto(
             cand, opts.min_table_hits, kcap)
 
         rid = ids.reshape(-1)                          # [B*K] read ids
         pair_valid = rid != jnp.uint32(0xFFFFFFFF)
-        rid_c = jnp.where(pair_valid, rid, 0).astype(jnp.int32)
-        r_len = jnp.take(read_lengths_all, rid_c)
+        rid_full = jnp.where(pair_valid, rid, 0).astype(jnp.int32)
+        nk = b * kcap
+        # pair compaction (engine.coarse_pairs_best's budget machinery in
+        # the window orientation: budget = windows * shd_pairs budget) —
+        # at real densities most of the [B, K] candidate grid is padding,
+        # and SHD with its plane gathers was ~3.9x the inverted engine's
+        # cost at the same shape (PERF.md round-4).  Bit-identical while
+        # pair_drops stays 0.
+        kb = opts.shd_pairs_per_read_budget
+        compact = 0 < kb < kcap
+        if compact:
+            budget = b * kb
+            iota_p = jnp.arange(nk, dtype=jnp.int32)
+            vi = pair_valid.astype(jnp.int32)
+            rank_p = jnp.cumsum(vi) - 1
+            n_valid = jnp.sum(vi)
+            slot = jnp.where(pair_valid & (rank_p < budget), rank_p, budget)
+            pair_sel = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(
+                iota_p, mode="drop")[:budget]
+            sel_valid = jnp.arange(budget, dtype=jnp.int32) < n_valid
+            pair_drops = jnp.maximum(n_valid - budget, 0)
+        else:
+            pair_sel = jnp.arange(nk, dtype=jnp.int32)
+            sel_valid = pair_valid
+            pair_drops = jnp.int32(0)
 
-        pos_rep = jnp.repeat(win_pos, kcap)
-        clen_rep = jnp.repeat(chrom_len, kcap)
+        rid_c = jnp.take(rid_full, pair_sel)
+        widx_p = pair_sel // kcap
+        r_len = jnp.take(read_lengths_all, rid_c)
+        pos_rep = jnp.take(win_pos, widx_p)
+        clen_rep = jnp.take(chrom_len, widx_p)
         loc = shd.extended_window_location(
             pos_rep, clen_rep, r_len, opts.window_size)
         params = shd.ShdParams(
@@ -196,7 +236,7 @@ class WindowStreamMapper:
                 loc.length, loc.left,
                 jnp.take(hi0, rid_c, axis=0), jnp.take(lo0, rid_c, axis=0),
                 jnp.take(hi1, rid_c, axis=0), jnp.take(lo1, rid_c, axis=0),
-                jnp.take(pmask, rid_c, axis=0), r_len, pair_valid, params,
+                jnp.take(pmask, rid_c, axis=0), r_len, sel_valid, params,
                 three_n=opts.three_n_seeding, undirectional=undirectional)
 
         res = eval_pairs(read_planes, False)
@@ -215,12 +255,25 @@ class WindowStreamMapper:
                                          res.orientation)
             res_strand = jnp.zeros_like(res.hamming)
 
-        out_rid = jnp.where(pair_valid & (res_ori != shd.NONE), rid_c, -1)
+        if compact:
+            tgt = jnp.where(sel_valid, pair_sel, nk)
+            res_ham = jnp.zeros((nk,), res_ham.dtype).at[tgt].set(
+                res_ham, mode="drop")
+            res_shf = jnp.zeros((nk,), res_shf.dtype).at[tgt].set(
+                res_shf, mode="drop")
+            res_ori = jnp.full((nk,), shd.NONE, res_ori.dtype).at[tgt].set(
+                res_ori, mode="drop")
+            res_strand = jnp.zeros((nk,), jnp.int32).at[tgt].set(
+                res_strand, mode="drop")
+
+        out_rid = jnp.where(pair_valid & (res_ori != shd.NONE), rid_full,
+                            -1)
         packed = jnp.stack(
             [out_rid, res_ham, res_shf, res_ori.astype(jnp.int32),
              res_strand], axis=1)
         overflow = jnp.stack([jnp.sum(counts > opts.probe_cap),
-                              jnp.sum(num_kept > kcap)])
+                              jnp.sum(num_kept > kcap), pair_drops,
+                              tail_drops, head_drops])
         return packed, overflow
 
     def map_genome(self, genome: Genome) -> CoarseResults:
@@ -279,7 +332,10 @@ class WindowStreamMapper:
             global_window_id=np.full(self.num_reads, SENTINEL,
                                      dtype=np.uint32),
             stats={"probe_overflow": int(overflow[0]),
-                   "vote_overflow": int(overflow[1])},
+                   "vote_overflow": int(overflow[1]),
+                   "pair_budget_overflow": int(overflow[2]),
+                   "probe_tail_overflow": int(overflow[3]),
+                   "probe_head_overflow": int(overflow[4])},
             bs_strand=np.zeros(self.num_reads, dtype=np.int8))
 
         # host merge in genome order (reference: main_gpu.cu:777-821).

@@ -41,10 +41,20 @@ def test_tail_budget_matches_full(fnc):
                              probe_steps=idx.probe_steps, fnc_layout=fnc,
                              tail_budget=1024)
     cand0, cnt0 = full
-    cand1, cnt1, drops = tiered
-    assert int(drops) == 0
+    cand1, cnt1, drops, hdrops = tiered
+    assert int(drops) == 0 and int(hdrops) == 0
     np.testing.assert_array_equal(np.asarray(cand0), np.asarray(cand1))
     np.testing.assert_array_equal(np.asarray(cnt0), np.asarray(cnt1))
+    # found-compacted head gather: exact while within budget
+    compacted = mi.probe_tables(
+        idx.keys, idx.offsets, idx.values, idx.num_keys,
+        queries, valid, 16, bucket_start=idx.bucket_start,
+        probe_steps=idx.probe_steps, fnc_layout=fnc,
+        tail_budget=1024, head_budget=512 * idx.num_tables)
+    cand2, cnt2, drops2, hdrops2 = compacted
+    assert int(drops2) == 0 and int(hdrops2) == 0
+    np.testing.assert_array_equal(np.asarray(cand0), np.asarray(cand2))
+    np.testing.assert_array_equal(np.asarray(cnt0), np.asarray(cnt2))
 
 
 def test_tail_budget_overflow_counted():
@@ -54,7 +64,7 @@ def test_tail_budget_overflow_counted():
     queries = np.full((256, idx.num_tables), 0, dtype=np.uint32)
     for t in range(idx.num_tables):
         queries[:, t] = 1000 + (np.arange(256) % 40)
-    cand, cnt, drops = mi.probe_tables(
+    cand, cnt, drops, _hd = mi.probe_tables(
         idx.keys, idx.offsets, idx.values, idx.num_keys,
         jnp.asarray(queries), jnp.ones(256, bool), 16,
         bucket_start=idx.bucket_start, probe_steps=idx.probe_steps,
@@ -86,3 +96,35 @@ def test_engine_tail_budget_end_to_end():
     for f in ("orientation", "hamming", "position", "global_window_id"):
         np.testing.assert_array_equal(getattr(r0, f), getattr(r1, f),
                                       err_msg=f)
+
+
+def test_engine_head_budget_end_to_end():
+    rng = np.random.default_rng(10)
+    chrom_bases = rng.integers(0, 4, size=300_000, dtype=np.int8)
+    genome = Genome(["chrT"],
+                    ["".join(np.array(list("ACGT"))[chrom_bases])])
+    starts = rng.integers(0, 300_000 - 100, size=256)
+    reads = chrom_bases[starts[:, None] + np.arange(100)[None, :]].copy()
+    # half junk reads: plenty of probe misses for the compaction to skip
+    reads[128:] = rng.integers(0, 4, size=(128, 100), dtype=np.int8)
+    lengths = np.full(256, 100, dtype=np.int32)
+    base = dict(kmer_length=16, num_hash_functions=8, window_size=128,
+                min_table_hits=2, batchsize=128, max_hamming_percent=0.05,
+                probe_cap=16, candidates_per_read_cap=8, max_read_length=128)
+    r0 = CoarseMapper(genome, ProgramOptions(
+        **base, probe_tail_budget_per_read=4)).map_reads(
+        reads.astype(np.int8), lengths)
+    r1 = CoarseMapper(genome, ProgramOptions(
+        **base, probe_tail_budget_per_read=4,
+        probe_head_budget_per_read=8)).map_reads(
+        reads.astype(np.int8), lengths)
+    assert r1.stats["probe_head_overflow"] == 0
+    for f in ("orientation", "hamming", "position", "global_window_id"):
+        np.testing.assert_array_equal(getattr(r0, f), getattr(r1, f),
+                                      err_msg=f)
+    # a starved budget must COUNT what it drops (never silently)
+    r2 = CoarseMapper(genome, ProgramOptions(
+        **base, probe_tail_budget_per_read=4,
+        probe_head_budget_per_read=1)).map_reads(
+        reads.astype(np.int8), lengths)
+    assert r2.stats["probe_head_overflow"] > 0

@@ -111,3 +111,29 @@ def test_window_stream_three_n_matches_engine():
     np.testing.assert_array_equal(ws.position[mapped], eng.position[mapped])
     np.testing.assert_array_equal(ws.chromosome_id[mapped],
                                   eng.chromosome_id[mapped])
+
+
+def test_window_stream_budgets_match_unbudgeted():
+    """Pair compaction + two-tier/head-compacted probe in the window
+    orientation are bit-identical while their overflow counters stay 0
+    (round-5; mirrors the engine's budget equivalence guarantees)."""
+    chroms, bases, lens = _dataset()
+    base = dict(
+        kmer_length=8, num_hash_functions=8, window_size=32,
+        min_table_hits=2, batchsize=16, max_hamming_percent=0.15,
+        probe_cap=128, candidates_per_read_cap=64, max_read_length=40,
+        max_results_per_map=100000)
+    genome = Genome([f"c{i}" for i in range(len(chroms))], chroms)
+    r0 = WindowStreamMapper(bases.copy(), lens.copy(),
+                            ProgramOptions(**base)).map_genome(genome)
+    r1 = WindowStreamMapper(bases.copy(), lens.copy(), ProgramOptions(
+        **base, shd_pairs_per_read_budget=32,
+        probe_tail_budget_per_read=64,
+        probe_head_budget_per_read=64)).map_genome(genome)
+    assert r1.stats["pair_budget_overflow"] == 0
+    assert r1.stats["probe_tail_overflow"] == 0
+    assert r1.stats["probe_head_overflow"] == 0
+    for f in ("orientation", "hamming", "shift", "position",
+              "chromosome_id", "global_window_id"):
+        np.testing.assert_array_equal(getattr(r0, f), getattr(r1, f),
+                                      err_msg=f)

@@ -112,7 +112,7 @@ def main():
         min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
         probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
         threads=2, three_n_seeding=True, shd_pairs_per_read_budget=4,
-        probe_tail_budget_per_read=4)
+        probe_tail_budget_per_read=4, probe_head_budget_per_read=18)
     t0 = time.perf_counter()
     mapper = CoarseMapper(genome, opts)
     res, _scores = mapper.map_reads(
@@ -126,7 +126,8 @@ def main():
     for key in ("vote_kernel_fallback", "sw_kernel_fallback"):
         if res.stats.get(key, 0):
             failures.append(f"{key}={res.stats[key]}")
-    for key in ("pair_budget_overflow", "probe_tail_overflow"):
+    for key in ("pair_budget_overflow", "probe_tail_overflow",
+                "probe_head_overflow"):
         if res.stats.get(key, 0):
             failures.append(f"{key}={res.stats[key]}")
     if failures:
