@@ -99,13 +99,14 @@ def coarse_rate(genome, reads, opts, label, reps=3):
     all_valid = jnp.ones((n_reads,), dtype=bool)
     np.asarray(all_bases)   # force the upload to finish before timing
 
+    mapper.dropped = dropped
+
     def run_all():
-        outs = [mapper._map_batch_at(
-            all_bases, all_lens, all_valid, jnp.int32(i * batch), batch,
-            dropped[0], dropped[1]) for i in range(n_batches)]
-        packed_dev = jnp.concatenate([o[0] for o in outs], axis=0)
-        ovf_dev = jnp.stack([o[1] for o in outs]).sum(axis=0)
-        # ONE fetch: waits for every batch in the FIFO + the transfer
+        # ONE dispatch (lax.scan over the pool, engine.map_pool_scanned;
+        # per-batch dispatch overhead removed) and ONE fetch that waits
+        # for the whole FIFO + the transfer
+        packed_dev, ovf_dev = mapper.map_pool_scanned(
+            all_bases, all_lens, all_valid, n_batches * batch, batch)
         return np.asarray(packed_dev), np.asarray(ovf_dev)
 
     t0 = time.perf_counter()

@@ -186,8 +186,12 @@ def main():
     t_round0 = time.perf_counter()
     for ri, segs in enumerate(regions):
         t0 = time.perf_counter()
+        # binary-search probe: the cuckoo direct-probe tables cost ~2.5x
+        # the CSR index in HBM, and region i's buffers are freed lazily
+        # while region i+1 builds — with cuckoo on, the transient
+        # co-residency OOMed a 16 GB chip at region 7 of 12 (observed)
         mapper = CoarseMapper(genome, opts, segments=segs,
-                              build_direct_probe=True)
+                              build_direct_probe=False)
         # pad to the largest index seen so every region hits the same
         # compiled executable (regions are near-equal window spans, so
         # the first region's size is within ~1% of the max; grow u/v max
@@ -197,8 +201,6 @@ def main():
         v_max = max(v_max, mapper.index.values.shape[1])
         pad_index_like(mapper.index, u_max, v_max)
         mapper.index.build_buckets()
-        if mapper.index.cuckoo_keys is None and opts.probe_cap < 1023:
-            mapper.index.build_cuckoo()
         dt_b = time.perf_counter() - t0
         t_build += dt_b
         idx_bytes += mapper.index.memory_bytes()
@@ -223,7 +225,17 @@ def main():
         n_mapped_r = int((res.orientation != 3).sum())
         log(f"[region {ri}] windows={mapper.table.num_windows} "
             f"build {dt_b:.1f}s map {dt_m:.1f}s mapped {n_mapped_r}")
-        del mapper, res   # free HBM before the next region's build
+        # the jitted methods' cache holds `self` (a static arg), so the
+        # mapper OBJECT outlives `del` — null the big device references
+        # so the arrays free even while the husk stays cached (without
+        # this, 12 regions OOM a 16 GB chip around region 9-10: observed)
+        mapper.index = None
+        mapper.table = None
+        mapper._genome_s2 = None
+        mapper.dropped = None
+        del mapper, res
+        import gc
+        gc.collect()
     t_coarse_total = time.perf_counter() - t_round0
 
     ori = best_payload[:, 0].astype(np.int8)

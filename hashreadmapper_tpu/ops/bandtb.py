@@ -376,6 +376,44 @@ FUSED_ENTRIES = 48   # fused-mode walk budget (uint8 entries, runs split
 # at 63; p99 of real walks is ~35 entries — overflow -> host banded DP)
 
 
+def fused_traceback_t(pair_q_t, pair_ref_t, s10,
+                      n_entries: int = FUSED_ENTRIES):
+    """fused_traceback over TRANSPOSED pair tensors (pair_q_t [LQ, P],
+    pair_ref_t [NL, P] — see fused_traceback below for semantics).  The
+    sort/unsort permutation matmuls run in the transposed layout too, so
+    the whole traceback never materializes a [P, L] relayout."""
+    LQ, P = pair_q_t.shape
+    score1, ref_end, query_end = s10[0], s10[1], s10[2]
+    ref_begin, query_begin = s10[5], s10[6]
+    ovf = s10[8] != 0
+    diag = s10[9] != 0
+    degen = (s10[0] == 0) | (s10[1] < 0)
+    need = ~(diag | ovf | degen)
+    use_pallas = (jax.default_backend() == "tpu" and P % _BP == 0)
+
+    m_sub = query_end - query_begin + 1
+    r_sub = ref_end - ref_begin + 1
+    key = jnp.where(need, -(jnp.abs(r_sub - m_sub) + 1), jnp.int32(1))
+    order = jnp.argsort(key)
+    iota_p = jnp.arange(P, dtype=jnp.int32)
+    oh = (order[:, None] == iota_p[None, :])            # [P(sorted), P]
+    ohf_t = oh.T.astype(jnp.bfloat16)                   # [P, P(sorted)]
+    sq_t = (pair_q_t.astype(jnp.bfloat16) @ ohf_t).astype(jnp.int32)
+    sref_t = (pair_ref_t.astype(jnp.bfloat16) @ ohf_t).astype(jnp.int32)
+    take = lambda a: jnp.take(a, order)
+    ents, status, _ = _tb_core_t(
+        sq_t, take(query_begin), take(query_end), sref_t,
+        take(ref_begin), take(ref_end), take(score1), m_max=LQ,
+        n_entries=n_entries, use_pallas=use_pallas, need=take(need),
+        run_cap=63)
+    # unsort (transpose of the permutation)
+    ohf_u = oh.T.astype(jnp.float32)
+    ents_u = (ohf_u @ ents.astype(jnp.float32)).astype(jnp.int32)
+    status_u = (ohf_u @ status.astype(jnp.float32)).astype(jnp.int8)
+    return (ents_u.astype(jnp.uint8),
+            jnp.where(need, status_u, jnp.int8(0)))
+
+
 def fused_traceback(pair_q, pair_ref, s10, n_entries: int = FUSED_ENTRIES):
     """Traced banded traceback for one scored batch — called INSIDE the
     engine's fused coarse+score jit (engine._map_batch_scored_at_impl), so
@@ -440,18 +478,31 @@ def _banded_tb_jit(read_codes, query_begin, query_end, ref_codes,
 def _tb_core(read_codes, query_begin, query_end, ref_codes,
              ref_begin, ref_end, score1, m_max: int, n_entries: int,
              use_pallas: bool = False, need=None, run_cap: int = 0):
-    LQ = read_codes.shape[1]
-    P = read_codes.shape[0]
-    NL = ref_codes.shape[1]
+    """Row-major entry: transposes once and defers to _tb_core_t."""
+    return _tb_core_t(read_codes.astype(jnp.int32).T, query_begin,
+                      query_end, ref_codes.astype(jnp.int32).T,
+                      ref_begin, ref_end, score1, m_max, n_entries,
+                      use_pallas, need, run_cap)
+
+
+def _tb_core_t(read_tt, query_begin, query_end, ref_tt,
+               ref_begin, ref_end, score1, m_max: int, n_entries: int,
+               use_pallas: bool = False, need=None, run_cap: int = 0):
+    """Transposed inputs: read_tt [LQ, P], ref_tt [NL, P] int32 — the
+    fused path builds pairs in this layout, skipping the relayouts."""
+    LQ = read_tt.shape[0]
+    P = read_tt.shape[1]
+    NL = ref_tt.shape[0]
     qb = query_begin.astype(jnp.int32)
     m = (query_end - query_begin + 1).astype(jnp.int32)
     rb = ref_begin.astype(jnp.int32)
     r = (ref_end - ref_begin + 1).astype(jnp.int32)
     score1 = score1.astype(jnp.int32)
 
-    read_t = _shift_sub(read_codes.astype(jnp.int32).T, qb, m_max)
-    ref_t = _shift_sub(ref_codes.astype(jnp.int32).T, rb, NL)
-    sub_ref = ref_t.T                                        # [P, NL]
+    read_t = _shift_sub(read_tt.astype(jnp.int32), qb, m_max)
+    ref_t = _shift_sub(ref_tt.astype(jnp.int32), rb, NL)
+    if not use_pallas:
+        sub_ref = ref_t.T                                    # [P, NL]
 
     max_len = jnp.maximum(m, r)
     bw0 = jnp.abs(r - m) + 1

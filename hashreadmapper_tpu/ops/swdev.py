@@ -307,41 +307,41 @@ def _shift_rows_up(x, sh, fill):
     return x
 
 
-def _striped_layout(read_codes, read_len, lq):
-    """[P, LQ] reads -> striped [S, 16, P] code/pos/mask tensors."""
+def _striped_layout_t(read_t, read_len, lq):
+    """[LQ, P] transposed reads -> striped [S, 16, P] tensors.
+
+    The transposed form is the NATIVE one — every consumer below works in
+    [L, P]; accepting read_t directly lets the fused STEP-2 path build its
+    pair tensors transposed at the source and skip the [P,128]->[128,P]
+    relayouts (~4 ms each per 8192-pair batch, measured round 5)."""
     S = (lq + LANES - 1) // LANES
-    P = read_codes.shape[0]
+    P = read_t.shape[1]
     seg_len = (read_len + LANES - 1) // LANES
     j3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 0)
     k3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 1)
     pos = j3 + k3 * seg_len[None, None, :]
     pre_mask = pos < read_len[None, None, :]
-    read_t = read_codes.astype(jnp.int32).T                    # [LQ, P]
-    read_at = _striped_select(read_t, seg_len, S, lq)
+    read_at = _striped_select(read_t.astype(jnp.int32), seg_len, S, lq)
     read_at = jnp.where(pre_mask, read_at, 4)
     return read_at, pre_mask, pos, seg_len
 
 
-@partial(jax.jit, static_argnames=("n_cols",))
-def ssw_forward_batch(read_codes, read_len, ref_codes, ref_len, mask_len,
-                      n_cols: int):
-    """Forward byte-mode pass for a batch of pairs.
+def _striped_layout(read_codes, read_len, lq):
+    """[P, LQ] reads -> striped [S, 16, P] code/pos/mask tensors."""
+    return _striped_layout_t(read_codes.astype(jnp.int32).T, read_len, lq)
 
-    read_codes [P, LQ] int8 (0..4), read_len [P], ref_codes [P, LR] int8,
-    ref_len [P], mask_len [P].  n_cols: static column count (>= max ref_len).
 
-    Returns dict of [P] arrays: score1, ref_end, query_end, score2,
-    ref_end2, overflowed.  Pairs with overflowed=True must be re-run on the
-    host word-mode path (ssw_align falls back the same way).
-    """
+def _forward_t(read_t, read_len, ref_tt, ref_len, mask_len, n_cols: int):
+    """Forward byte-mode pass, transposed inputs (read_t [LQ, P] int32,
+    ref_tt [>=n_cols, P] int32).  Same returns as ssw_forward_batch."""
     read_len = read_len.astype(jnp.int32)
     ref_len = ref_len.astype(jnp.int32)
     mask_len = mask_len.astype(jnp.int32)
-    lq = read_codes.shape[1]
-    P = read_codes.shape[0]
-    read_at, pre_mask, pos, seg_len = _striped_layout(read_codes, read_len,
-                                                      lq)
-    ref_t = ref_codes.astype(jnp.int32).T[:n_cols]
+    lq = read_t.shape[0]
+    P = read_t.shape[1]
+    read_at, pre_mask, pos, seg_len = _striped_layout_t(read_t, read_len,
+                                                        lq)
+    ref_t = ref_tt[:n_cols]
     best, end_ref, end_read, max_column, ovf = _run_pass(
         read_at, pre_mask, pos, seg_len, read_len, ref_t, ref_len,
         jnp.full((P,), SAT, jnp.int32), 0, n_cols, True)
@@ -365,35 +365,48 @@ def ssw_forward_batch(read_codes, read_len, ref_codes, ref_len, mask_len,
 
 
 @partial(jax.jit, static_argnames=("n_cols",))
-def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
-                      query_end, n_cols: int):
-    """Reverse byte-mode pass: begin positions (ssw.c:877-886).
+def ssw_forward_batch(read_codes, read_len, ref_codes, ref_len, mask_len,
+                      n_cols: int):
+    """Forward byte-mode pass for a batch of pairs.
 
-    Aligns reversed read[:query_end+1] against ref[:ref_end+1] with
-    descending columns and terminate = score1.
+    read_codes [P, LQ] int8 (0..4), read_len [P], ref_codes [P, LR] int8,
+    ref_len [P], mask_len [P].  n_cols: static column count (>= max ref_len).
+
+    Returns dict of [P] arrays: score1, ref_end, query_end, score2,
+    ref_end2, overflowed.  Pairs with overflowed=True must be re-run on the
+    host word-mode path (ssw_align falls back the same way).
+    """
+    return _forward_t(read_codes.astype(jnp.int32).T, read_len,
+                      ref_codes.astype(jnp.int32).T, ref_len, mask_len,
+                      n_cols)
+
+
+def _reverse_t(read_t, ref_tt, score1, ref_end, query_end, n_cols: int):
+    """Reverse byte-mode pass, transposed inputs: begin positions
+    (ssw.c:877-886).  Aligns reversed read[:query_end+1] against
+    ref[:ref_end+1] with descending columns and terminate = score1.
 
     Returns dict of [P] arrays: ref_begin, query_begin, flag2 (score1 >
     rev_score, the reference's "missed small part" flag), overflowed.
     """
-    del read_len  # the reversed prefix length comes from query_end
     score1 = score1.astype(jnp.int32)
     ref_end = ref_end.astype(jnp.int32)
     query_end = query_end.astype(jnp.int32)
-    lq = read_codes.shape[1]
+    lq = read_t.shape[0]
     # reversed prefix: rev[t] = read[query_end - t] for t <= query_end.
     # Static flip + per-pair row shift (rev[t] = flip[t + lq-1-qe]) —
     # the old per-pair take_along_axis reversals cost ~18 ns/element and
     # were most of the reverse pass's device time.
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (lq, 1), 0)
     qe = query_end[None, :]
-    flipped = read_codes.astype(jnp.int32).T[::-1]             # [LQ, P]
+    flipped = read_t.astype(jnp.int32)[::-1]                   # [LQ, P]
     rev_t = _shift_rows_up(flipped, lq - 1 - query_end, jnp.int32(4))
     rev_t = jnp.where(t_idx <= qe, rev_t, 4)                   # [LQ, P]
     rl_rev = query_end + 1
     fl_rev = ref_end + 1
 
     S = (lq + LANES - 1) // LANES
-    P = read_codes.shape[0]
+    P = read_t.shape[1]
     seg_len = (rl_rev + LANES - 1) // LANES
     j3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 0)
     k3 = jax.lax.broadcasted_iota(jnp.int32, (S, LANES, P), 1)
@@ -405,7 +418,7 @@ def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
     # pre-reverse ref columns per pair: column t of the reverse scan reads
     # ref[ref_end - t]; same flip + per-pair shift (columns past ref_end
     # are inactive in the pass, so the fill never reaches a result)
-    ref_flip = ref_codes.astype(jnp.int32).T[:n_cols][::-1]    # [LR, P]
+    ref_flip = ref_tt.astype(jnp.int32)[:n_cols][::-1]         # [LR, P]
     ref_rev_t = _shift_rows_up(ref_flip, n_cols - 1 - ref_end,
                                jnp.int32(4))
     best, end_ref, end_read, _, ovf = _run_pass(
@@ -415,9 +428,20 @@ def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
             "flag2": score1 > best, "overflowed": ovf}
 
 
-def _diag_fastpath_flag(read_codes, ref_codes, score1, ref_begin, ref_end,
+@partial(jax.jit, static_argnames=("n_cols",))
+def ssw_reverse_batch(read_codes, read_len, ref_codes, score1, ref_end,
+                      query_end, n_cols: int):
+    """Row-major wrapper of _reverse_t (see there)."""
+    del read_len  # the reversed prefix length comes from query_end
+    return _reverse_t(read_codes.astype(jnp.int32).T,
+                      ref_codes.astype(jnp.int32).T, score1, ref_end,
+                      query_end, n_cols)
+
+
+def _diag_fastpath_flag(read_t, ref_tt, score1, ref_begin, ref_end,
                         query_begin, query_end, overflowed, n_cols: int):
     """all-M traceback certificate (the banded-DP bypass).
+    Transposed inputs: read_t [LQ, P], ref_tt [>=n_cols, P] int32.
 
     Claim: if the matched subregions have EQUAL lengths (m == r) and the
     gapless diagonal score  S = sum_k score(read[qb+k], ref[rb+k])  equals
@@ -442,15 +466,15 @@ def _diag_fastpath_flag(read_codes, ref_codes, score1, ref_begin, ref_end,
     host never runs the banded DP for these pairs (the vast majority:
     substitution-only alignments, i.e. everything without an indel).
     """
-    lq = read_codes.shape[1]
-    P = read_codes.shape[0]
+    lq = read_t.shape[0]
+    P = read_t.shape[1]
     m = query_end - query_begin + 1
     r = ref_end - ref_begin + 1
     # shifted_ref[a] = ref[a + delta], delta = ref_begin - query_begin in
     # [-(lq-1), n_cols-1]; barrel-shift (log2 select+roll) instead of a
     # per-pair gather (XLA gathers cost ~18 ns/element on this backend)
     pad = jnp.full((lq, P), 4, jnp.int32)
-    x = jnp.concatenate([pad, ref_codes.astype(jnp.int32).T[:n_cols], pad],
+    x = jnp.concatenate([pad, ref_tt.astype(jnp.int32)[:n_cols], pad],
                         axis=0)                      # index c = a + delta + lq
     size = int(x.shape[0])
     sh = (ref_begin - query_begin + lq).astype(jnp.int32)  # in [1, lq+n_cols)
@@ -461,7 +485,7 @@ def _diag_fastpath_flag(read_codes, ref_codes, score1, ref_begin, ref_end,
             break
         x = jnp.where((sh & step).astype(bool)[None, :],
                       jnp.roll(x, -step, axis=0), x)
-    read_t = read_codes.astype(jnp.int32).T                 # [LQ, P]
+    read_t = read_t.astype(jnp.int32)                       # [LQ, P]
     a_idx = jax.lax.broadcasted_iota(jnp.int32, (lq, 1), 0)
     active = (a_idx >= query_begin[None, :]) & (a_idx <= query_end[None, :])
     ref_at = x[:lq]
@@ -471,19 +495,19 @@ def _diag_fastpath_flag(read_codes, ref_codes, score1, ref_begin, ref_end,
             & (score1 > 0) & (ref_end >= 0))
 
 
-@partial(jax.jit, static_argnames=("n_cols",))
-def ssw_score_packed(read_codes, read_len, ref_codes, ref_len, mask_len,
-                     n_cols: int):
-    """Forward + reverse pass fused, ONE packed [10, P] int32 output (the
-    transport pays a large per-transfer cost, so everything comes back in a
-    single device->host fetch).  Rows: score1, ref_end, query_end, score2,
-    ref_end2, ref_begin, query_begin, flag2, overflowed(fwd|rev), diag."""
-    fwd = ssw_forward_batch(read_codes, read_len, ref_codes, ref_len,
-                            mask_len, n_cols)
-    rev = ssw_reverse_batch(read_codes, read_len, ref_codes, fwd["score1"],
-                            fwd["ref_end"], fwd["query_end"], n_cols)
+def ssw_score_packed_t(read_t, read_len, ref_tt, ref_len, mask_len,
+                       n_cols: int):
+    """Forward + reverse pass fused over TRANSPOSED pair tensors
+    (read_t [LQ, P], ref_tt [LR, P] int32) — the fused STEP-2 path builds
+    its pairs in this layout at the source, eliminating every
+    [P,128]->[128,P] relayout the row-major API pays.  ONE packed [10, P]
+    int32 output; rows: score1, ref_end, query_end, score2, ref_end2,
+    ref_begin, query_begin, flag2, overflowed(fwd|rev), diag."""
+    fwd = _forward_t(read_t, read_len, ref_tt, ref_len, mask_len, n_cols)
+    rev = _reverse_t(read_t, ref_tt, fwd["score1"], fwd["ref_end"],
+                     fwd["query_end"], n_cols)
     ovf = fwd["overflowed"] | rev["overflowed"]
-    diag = _diag_fastpath_flag(read_codes, ref_codes, fwd["score1"],
+    diag = _diag_fastpath_flag(read_t, ref_tt, fwd["score1"],
                                rev["ref_begin"], fwd["ref_end"],
                                rev["query_begin"], fwd["query_end"],
                                ovf, n_cols)
@@ -492,6 +516,15 @@ def ssw_score_packed(read_codes, read_len, ref_codes, ref_len, mask_len,
         fwd["ref_end2"], rev["ref_begin"], rev["query_begin"],
         rev["flag2"].astype(jnp.int32),
         ovf.astype(jnp.int32), diag.astype(jnp.int32)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_cols",))
+def ssw_score_packed(read_codes, read_len, ref_codes, ref_len, mask_len,
+                     n_cols: int):
+    """Row-major wrapper of ssw_score_packed_t (see there)."""
+    return ssw_score_packed_t(read_codes.astype(jnp.int32).T, read_len,
+                              ref_codes.astype(jnp.int32).T, ref_len,
+                              mask_len, n_cols)
 
 
 def ssw_score_dispatch(read_codes, read_len, ref_codes, ref_len, mask_len):

@@ -333,16 +333,19 @@ def fused_step2_scores(opts, chrom_offset, chrom_len, genome_s2,
     strand = packed[:, 6]
     rc = encode.revcomp_bases(read_bases, read_len)
     is_rc = (ori == 2)[:, None]
-    fwd = jnp.where(is_rc, rc, read_bases)
-    rcq = jnp.where(is_rc, read_bases, rc)
-    sc = ((strand != 0) & (ori == 1))[:, None]
+    # the pair tensors are built TRANSPOSED ([L, pairs]) — the layout
+    # every striped-SW/traceback consumer natively wants; the row-major
+    # build paid ~4 ms per [8192,128] int relayout downstream (round 5)
+    fwd_t = jnp.where(is_rc, rc, read_bases).astype(jnp.int8).T  # [lq, b]
+    rcq_t = jnp.where(is_rc, read_bases, rc).astype(jnp.int8).T
+    sc_t = ((strand != 0) & (ori == 1))[None, :]
 
     def collapse(m):
         ct = jnp.where(m == 1, jnp.int8(3), m)
         if not opts.undirectional:
             return ct
         ga = jnp.where(m == 2, jnp.int8(0), m)
-        return jnp.where(sc, ga, ct)
+        return jnp.where(sc_t, ga, ct)
 
     clen = jnp.take(chrom_len, chrom)
     wl = jnp.where(pos + ws < clen, ws, clen - pos).astype(jnp.int32)
@@ -351,37 +354,38 @@ def fused_step2_scores(opts, chrom_offset, chrom_len, genome_s2,
     # gather): words w0..w0+ws/8 then shift by (base & 7) nibbles
     nw = ws // 8 + 1
     w0 = base >> 3
-    widx = jnp.minimum(w0[:, None] + jnp.arange(nw, dtype=jnp.int32),
-                       genome_s2.shape[0] - 1)
-    words = jnp.take(genome_s2, widx.reshape(-1)).reshape(b, nw)
-    shifts = (jnp.arange(nw * 8, dtype=jnp.uint32) % 8 * 4)[None, :]
-    codes = (jnp.repeat(words, 8, axis=1) >> shifts) & 0xF
-    off = (base & 7)[:, None]
+    widx = jnp.minimum(w0[None, :] + jnp.arange(nw, dtype=jnp.int32)[:, None],
+                       genome_s2.shape[0] - 1)                  # [nw, b]
+    words_t = jnp.take(genome_s2, widx.reshape(-1)).reshape(nw, b)
+    shifts = (jnp.arange(nw * 8, dtype=jnp.uint32) % 8 * 4)[:, None]
+    codes_t = (jnp.repeat(words_t, 8, axis=0) >> shifts) & 0xF   # [nw*8, b]
+    off = (base & 7)[None, :]
     for s in (4, 2, 1):
-        codes = jnp.where((off & s).astype(bool),
-                          jnp.roll(codes, -s, axis=1), codes)
-    win = codes[:, :ws].astype(jnp.int8)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (b, ws), 1)
-    win = jnp.where(iw < wl[:, None], win, jnp.int8(4))
-    q3n = collapse(fwd)
-    rcq3n = collapse(rcq)
-    ref3n = collapse(win)
-    pair_q = jnp.stack([q3n, rcq3n], axis=1).reshape(2 * b, lq)
-    pair_ref = jnp.repeat(ref3n, 2, axis=0)
+        codes_t = jnp.where((off & s).astype(bool),
+                            jnp.roll(codes_t, -s, axis=0), codes_t)
+    win_t = codes_t[:ws].astype(jnp.int8)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (ws, 1), 0)
+    win_t = jnp.where(iw < wl[None, :], win_t, jnp.int8(4))
+    q3n_t = collapse(fwd_t)
+    rcq3n_t = collapse(rcq_t)
+    ref3n_t = collapse(win_t)
+    pair_q_t = jnp.stack([q3n_t, rcq3n_t], axis=2).reshape(lq, 2 * b)
+    pair_ref_t = jnp.repeat(ref3n_t, 2, axis=1)
     rl32 = read_len.astype(jnp.int32)
     pair_rl = jnp.repeat(rl32, 2)
     pair_fl = jnp.repeat(wl, 2)
     pair_ml = jnp.repeat(jnp.maximum(15, rl32 // 2), 2)
-    packed10 = swdev.ssw_score_packed(pair_q, pair_rl, pair_ref,
-                                      pair_fl, pair_ml, ws)
+    packed10 = swdev.ssw_score_packed_t(
+        pair_q_t.astype(jnp.int32), pair_rl,
+        pair_ref_t.astype(jnp.int32), pair_fl, pair_ml, ws)
     if getattr(opts, "step2_device_traceback", True):
         # the banded CIGAR traceback runs in the SAME dispatch (the
         # standalone tb roundtrip paid ~80 ms/chunk of H2D+D2H+RTT on
         # this transport); uint8 run-length entries keep the extra
         # D2H to n_entries bytes/pair
         from ..ops import bandtb
-        tb_ops, tb_status = bandtb.fused_traceback(pair_q, pair_ref,
-                                                   packed10)
+        tb_ops, tb_status = bandtb.fused_traceback_t(pair_q_t, pair_ref_t,
+                                                     packed10)
     else:
         tb_ops = jnp.zeros((2 * b, 1), jnp.uint8)
         tb_status = jnp.zeros((2 * b,), jnp.int8)
@@ -779,6 +783,50 @@ class CoarseMapper:
             t.chrom_len, self._hash_ids_dev, self._ensure_genome_s2(),
             all_bases, all_lens, all_valid, start, bsz,
             dropped_keys, dropped_num)
+
+    @partial(jax.jit, static_argnames=("self", "bsz", "n_batches"))
+    def _map_pool_scan_impl(self, index_keys, index_offsets, index_values,
+                            index_num_keys, bucket_start, cuckoo_keys,
+                            cuckoo_payload, genome_hi, genome_lo,
+                            win_pos, win_chrom, chrom_offset, chrom_len,
+                            hash_ids, all_bases, all_lens, all_valid,
+                            bsz, n_batches, dropped_keys, dropped_num):
+        """All batches of the device pool in ONE jitted scan (one dispatch,
+        one executable): per-batch dispatch overhead on this transport is
+        several ms (FIFO gaps + per-call latency), which a 12-batch pool
+        pays 12x in the loop formulation (_map_reads_device).  Identical
+        results — the scan body IS _map_batch_impl."""
+        def body(carry, start):
+            chunk = jax.lax.dynamic_slice_in_dim(all_bases, start, bsz, 0)
+            lens = jax.lax.dynamic_slice_in_dim(all_lens, start, bsz, 0)
+            valid = jax.lax.dynamic_slice_in_dim(all_valid, start, bsz, 0)
+            packed, overflow = self._map_batch_impl(
+                index_keys, index_offsets, index_values, index_num_keys,
+                bucket_start, cuckoo_keys, cuckoo_payload,
+                genome_hi, genome_lo, win_pos, win_chrom,
+                chrom_offset, chrom_len, hash_ids,
+                chunk, lens, valid, dropped_keys, dropped_num)
+            return carry, (packed, overflow)
+        starts = jnp.arange(n_batches, dtype=jnp.int32) * bsz
+        _, (packed, overflow) = jax.lax.scan(body, jnp.int32(0), starts)
+        return (packed.reshape(n_batches * bsz, packed.shape[2]),
+                overflow.sum(axis=0))
+
+    def map_pool_scanned(self, all_bases, all_lens, all_valid, n_pad: int,
+                         bsz: int):
+        """One-dispatch coarse mapping of a staged read pool (see
+        _map_pool_scan_impl).  Returns (packed [n_pad, 7] dev, overflow
+        [5] dev)."""
+        assert n_pad % bsz == 0
+        t = self.table
+        i = self.index
+        return self._map_pool_scan_impl(
+            i.keys, i.offsets, i.values, i.num_keys, i.bucket_start,
+            i.cuckoo_keys, i.cuckoo_payload,
+            t.genome_hi, t.genome_lo, t.win_pos, t.win_chrom,
+            t.chrom_offset, t.chrom_len, self._hash_ids_dev,
+            all_bases, all_lens, all_valid, bsz, n_pad // bsz,
+            self.dropped[0], self.dropped[1])
 
     def _map_reads_device(self, all_bases, all_lens, all_valid, n_pad: int,
                           bsz: int, collect_candidates: bool = False):
