@@ -147,12 +147,23 @@ def main():
                                                 read_len)
     lengths = np.full(n_reads, read_len, np.int32)
 
+    # caps via HRM_G38_CAPS="probe,kcap,pair,tail,head".  At 3.1 Gbp the
+    # CT-collapsed 16-mer space is ~72x oversubscribed; the flagship's
+    # head budget (sized for a 43% found rate) drops probes wholesale
+    # here (first recorded run: mapped 40.3% with head 18, tail 4) — the
+    # at-scale default is the repeat-regime recommendation (PERF.md):
+    # probe 32 / kcap 16 / pair 8, tail+head compaction OFF.
+    caps = os.environ.get("HRM_G38_CAPS", "32,16,8,0,0")
+    probe_cap, kcap, pairb, tailb, headb = (int(x) for x in
+                                            caps.split(","))
     opts = ProgramOptions(
         kmer_length=16, num_hash_functions=16, window_size=128,
         min_table_hits=4, batchsize=batch, max_hamming_percent=0.05,
-        probe_cap=16, candidates_per_read_cap=8, max_read_length=128,
-        threads=4, three_n_seeding=True, shd_pairs_per_read_budget=4,
-        probe_tail_budget_per_read=4, probe_head_budget_per_read=18)
+        probe_cap=probe_cap, candidates_per_read_cap=kcap,
+        max_read_length=128,
+        threads=4, three_n_seeding=True, shd_pairs_per_read_budget=pairb,
+        probe_tail_budget_per_read=tailb,
+        probe_head_budget_per_read=headb)
 
     regions = plan_regions(genome, opts, n_regions_req)
     # descending window count: the FIRST region then fixes the padded
