@@ -242,8 +242,11 @@ def _run_stages(result, stage):
         _pipelined_sw(mapper, padded, store, genome, genome_rc, opts3)
         from hashreadmapper_tpu.pipeline.records import (MappingRecords,
                                                          emit_sam, emit_vcf)
+        import gc
         e2e_rates = []
-        for rep in range(2):        # median of 2 (run variance, PERF.md)
+        for rep in range(3):        # median of 3 (run variance, PERF.md;
+            # rep i+1 contends with rep i's buffer cleanup — collect first)
+            gc.collect()
             t0 = time.perf_counter()
             results3, aas = _pipelined_sw(mapper, padded, store, genome,
                                           genome_rc, opts3)
