@@ -54,3 +54,26 @@ def test_pipelined_matches_sequential(tmp_path, three_n):
     # exceed the pipeline chunk size used for the "pipe" run above
     n_reads = outs["seq"][0].count("\n@SQ")
     assert n_reads > 64, f"dataset too small to exercise chunking: {n_reads}"
+
+
+def test_pipelined_wide_reads_nonslim_bundle(tmp_path):
+    """max_read_length > 255 disables the uint8 score-row slimming in the
+    streaming driver (driver.py slim gate); the int16 bundle decode path
+    must stay byte-exact vs the sequential phases."""
+    fa, fq = make_dataset(tmp_path)
+    outs = {}
+    for label, chunk in (("seq", 0), ("pipe", 64)):
+        opts = ProgramOptions(
+            inputfiles=[fq], genomefile=fa,
+            outputfile=str(tmp_path / f"out_w_{label}"),
+            kmer_length=16, num_hash_functions=8, window_size=128,
+            min_table_hits=2, batchsize=64, max_hamming_percent=0.2,
+            probe_cap=16, candidates_per_read_cap=8, max_read_length=260,
+            three_n_seeding=True, step2_pipeline_chunk=chunk,
+            shd_pairs_per_read_budget=4, probe_tail_budget_per_read=4)
+        run_pipeline(opts)
+        outs[label] = (
+            open(opts.outputfile + ".SAM").read(),
+            open(opts.outputfile + ".VCF").read())
+    assert outs["seq"][0] == outs["pipe"][0], "SAM differs (non-slim)"
+    assert outs["seq"][1] == outs["pipe"][1], "VCF differs (non-slim)"
